@@ -1,0 +1,153 @@
+"""Golden tests for the JSON value-encoding contract (SURVEY.md §1.3).
+
+Modeled on the reference's unit suites (``Neo4jExport.Tests/Unit/
+PrimitivesTests.fs``, ``CollectionsTests.fs``, ``TruncationTests.fs:49-306``,
+``SpatialTests.fs``, ``DepthLimitTests.fs``): build value → encode → assert
+exact JSON.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+
+from neo4j_export_tool_spark.functions.encoding import (
+    MAX_BINARY_LENGTH,
+    MAX_COLLECTION_ITEMS,
+    MAX_STRING_LENGTH,
+    Duration,
+    Point,
+    dumps,
+    encode_properties,
+    encode_value,
+    ensure_unique_keys,
+    truncate_with_ellipsis,
+    validate_label,
+)
+
+
+def test_primitives():
+    assert encode_value(None) is None
+    assert encode_value(True) is True
+    assert encode_value(42) == 42
+    assert encode_value(3.14) == 3.14
+    assert encode_value("hello") == "hello"
+
+
+def test_special_floats_as_strings():
+    assert encode_value(float("nan")) == "NaN"
+    assert encode_value(float("inf")) == "Infinity"
+    assert encode_value(float("-inf")) == "-Infinity"
+    # nested inside collections too (dispatch order: special floats first)
+    assert encode_value([1.0, float("nan")]) == [1.0, "NaN"]
+
+
+def test_string_truncation_marker():
+    s = "x" * (MAX_STRING_LENGTH + 1)
+    out = encode_value(s)
+    assert out["_truncated"] == "string_too_large"
+    assert out["_length"] == MAX_STRING_LENGTH + 1
+    assert out["_prefix"] == "x" * 997 + "..."
+    assert len(out["_prefix"]) == 1000
+    assert out["_sha256"] == base64.b64encode(
+        hashlib.sha256(s.encode()).digest()
+    ).decode()
+    # at exactly the limit: no truncation
+    assert encode_value("x" * MAX_STRING_LENGTH) == "x" * MAX_STRING_LENGTH
+
+
+def test_binary_base64_and_truncation():
+    assert encode_value(b"ab") == "YWI="
+    big = b"\0" * (MAX_BINARY_LENGTH + 1)
+    out = encode_value(big)
+    assert out["_truncated"] == "binary_too_large"
+    assert out["_length"] == MAX_BINARY_LENGTH + 1
+    assert "_prefix" not in out
+
+
+def test_list_truncation_marker():
+    lst = list(range(MAX_COLLECTION_ITEMS + 5))
+    out = encode_value(lst)
+    assert len(out) == MAX_COLLECTION_ITEMS + 1
+    marker = out[-1]
+    assert marker == {
+        "_truncated": "list_too_large",
+        "_total_items": MAX_COLLECTION_ITEMS + 5,
+        "_shown_items": MAX_COLLECTION_ITEMS,
+    }
+    # at exactly the limit: untouched
+    exact = list(range(MAX_COLLECTION_ITEMS))
+    assert encode_value(exact) == exact
+
+
+def test_point_encoding():
+    assert encode_value(Point(srid=4326, x=12.5, y=-7.25)) == {
+        "type": "Point",
+        "srid": 4326,
+        "x": 12.5,
+        "y": -7.25,
+    }
+    out3d = encode_value(Point(srid=4979, x=1.0, y=2.0, z=3.0))
+    assert out3d["z"] == 3.0
+
+
+def test_duration_iso():
+    assert Duration(months=14, days=3, seconds=4 * 3600 + 5 * 60 + 6).iso() == "P1Y2M3DT4H5M6S"
+    assert Duration().iso() == "PT0S"
+    assert Duration(seconds=1, nanos=500000000).iso() == "PT1.5S"
+
+
+def test_duplicate_key_rename():
+    assert ensure_unique_keys(["k", "k", "k"]) == ["k", "k_1", "k_2"]
+    long_key = "a" * 2000
+    out = ensure_unique_keys([long_key])
+    assert len(out[0]) == 1000 and out[0].endswith("...")
+
+
+def test_depth_limit_marker():
+    v: object = 1
+    for _ in range(15):
+        v = [v]
+    flat = encode_value(v)
+    s = dumps(flat)
+    assert "depth_limit_exceeded" in s
+
+
+def test_property_bag_cap():
+    props = {f"k{i:05d}": i for i in range(MAX_COLLECTION_ITEMS + 3)}
+    out = encode_properties(props)
+    assert out["_truncated"] == f"too_many_properties: {MAX_COLLECTION_ITEMS + 3} total"
+
+
+def test_label_validation():
+    assert validate_label(None) == "_invalid_label"
+    assert validate_label("x" * 1001) == "_invalid_label"
+    assert validate_label("Person") == "Person"
+
+
+def test_truncate_with_ellipsis():
+    assert truncate_with_ellipsis("abcdef", 6) == "abcdef"
+    assert truncate_with_ellipsis("abcdefg", 6) == "abc..."
+
+
+def test_no_html_escaping():
+    assert dumps({"s": "<a>&\"'"}) == '{"s":"<a>&\\"\'"}'
+
+
+def test_unknown_type_marker():
+    class Weird:  # noqa: B903
+        pass
+
+    out = encode_value(Weird())
+    assert out["_note"] == "unserializable_type"
+    assert out["_type"] == "Weird"
+
+
+def test_json_roundtrip_compact():
+    # the OUTPUT serializer keeps nulls (reference Primitives.fs:38 writes
+    # null values); only the HASH canonicalization drops them
+    obj = encode_properties({"a": 1, "b": [1, 2], "c": {"d": None, "e": "x"}})
+    s = dumps(obj)
+    assert " " not in s.replace('"a"', "").replace('"b"', "")
+    assert json.loads(s) == {"a": 1, "b": [1, 2], "c": {"d": None, "e": "x"}}
