@@ -10,8 +10,34 @@ parallelism at hand rather than the 200 default.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_PKG_ROOT = Path(__file__).resolve().parents[1]
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors.
+
+    Local mode: python workers inherit PYTHONPATH from the JVM, which
+    inherits it from us — but only if set before the JVM starts, so we also
+    ship a zip via ``addPyFile`` (the same mechanism ``spark-submit
+    --py-files`` uses on a real cluster, so UDF closures deserialize on any
+    executor regardless of the driver's cwd)."""
+    # rebuilt every session start (cheap; a cached zip could ship stale code)
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"neo4j_export_tool_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        zip_base,
+        "zip",
+        root_dir=str(_PKG_ROOT),
+        base_dir="neo4j_export_tool_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def default_parallelism() -> int:
@@ -53,6 +79,14 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # local-mode python workers read PYTHONPATH from the JVM's environment;
+    # must be set before the JVM starts
+    existing = os.environ.get("PYTHONPATH", "")
+    if str(_PKG_ROOT) not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{existing}" if existing else str(_PKG_ROOT)
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
