@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+``--scaling`` mode: run the flagship KG job at two parallelism levels
+(local[8] vs local[32] by default) on the SAME input and report throughput at
+both plus scaling efficiency — the sandbox evidence for the north rule's
+two-cluster-size criterion (BASELINE.md) — into ``BENCH/BASELINE.md``.
+
+Full computation is forced with the ``noop`` sink (count() alone would let
+Catalyst prune the very columns we mean to benchmark).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from neo4j_export_tool_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name=f"bench-{cpus}",
+        shuffle_partitions=max(cpus, 8),
+    )
+    try:
+        timings: dict[str, float] = {}
+
+        # warm the JVM/Arrow path once (excluded from timings)
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+        for name, fn in sorted(entry_mod.queries().items()):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        # flagship KG end-to-end (mentions → edges → hash join), with
+        # throughput accounting
+        from neo4j_export_tool_spark.plans.flagship import documents_kg
+
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        t0 = time.perf_counter()
+        _, hashed = documents_kg(spark, sf_dir)
+        n_triples = hashed.count()
+        _force(hashed)
+        kg_sec = time.perf_counter() - t0
+        timings["flagship_kg"] = round(kg_sec, 3)
+
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "cpus": cpus,
+            "flagship_docs": n_docs,
+            "flagship_triples": n_triples,
+            "flagship_triples_per_sec": round(n_triples / kg_sec, 1),
+            "flagship_docs_per_sec": round(n_docs / kg_sec, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Same job, two parallelism levels, fresh JVM each (subprocess)."""
+    results = {}
+    for cpus in (low, high):
+        out = subprocess.run(
+            [sys.executable, __file__, "--single-run", "--cpus", str(cpus)],
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    thr_low = results[low]["flagship_triples_per_sec"]
+    thr_high = results[high]["flagship_triples_per_sec"]
+    eff = (thr_high / thr_low) / (high / low)
+    return {
+        "sf": sf_dir,
+        "low_cpus": low,
+        "high_cpus": high,
+        "throughput_low": thr_low,
+        "throughput_high": thr_high,
+        "speedup": round(thr_high / thr_low, 3),
+        "scaling_efficiency": round(eff, 3),
+        "detail": results,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-run", action="store_true")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.scaling:
+        res = run_scaling(args.sf_dir, args.low, args.high)
+        print(json.dumps(res))
+        return
+
+    res = run_bench(args.sf_dir, args.cpus)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

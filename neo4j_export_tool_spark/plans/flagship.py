@@ -1,0 +1,125 @@
+"""Flagship KG construction over the driver testdata ``documents`` table.
+
+The same dataflow as the web-pages pipeline (mentions → triples → nodes/edges
+→ content hashes → J1 join), expressed over the deterministic corpus the
+driver provides, so every stage is SQL-oracle-checkable:
+
+    documents ──mapInPandas(Aho-Corasick)──► mentions
+       │                                        │ groupBy(doc, concept)
+       ▼                                        ▼
+    doc nodes                         MENTIONS edges ──J1 join──► hashed edges
+    concept nodes  (broadcast side)
+
+Scale shape: mention detection is shuffle-free; the only shuffles are the
+mention-count groupBy (keyed on (doc_id, concept) — no skew, both high
+cardinality) and the J1 join, whose node side here is tiny → broadcast.
+At 10^12 docs the concept dimension stays broadcastable and the doc-node
+join key is unique per row, so AQE's sort-merge handles it without salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_export_tool_spark.operators.graph import (
+    attach_node_hashes,
+    edges_from,
+    nodes_from,
+    nodes_union,
+)
+from neo4j_export_tool_spark.operators.mentions import detect_mentions
+
+# Concept vocabulary planted in the driver's synthetic documents (engine
+# terms; deliberately excludes stop-ish fillers the corpus also contains).
+CONCEPT_TERMS: list[str] = [
+    "agg", "batch", "column", "data", "filter", "group", "hash", "join",
+    "key", "line", "merge", "order", "part", "query", "row", "scan", "sort",
+    "spark", "stream", "table", "value", "vector", "window",
+]
+
+CONCEPT_GAZETTEER: dict[str, tuple[str, str]] = {
+    t: ("Concept", t) for t in CONCEPT_TERMS
+}
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def doc_mentions(docs: DataFrame) -> DataFrame:
+    """(doc_id, concept, n_occurrences, first_offset) via Aho-Corasick."""
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), F.col("text")
+    )
+    m = detect_mentions(pages, CONCEPT_GAZETTEER)
+    return (
+        m.groupBy(F.col("url").cast("long").alias("doc_id"), F.col("canonical").alias("concept"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("start").alias("first_offset"),
+        )
+    )
+
+
+def document_nodes(docs: DataFrame) -> DataFrame:
+    return nodes_from(
+        docs,
+        labels=["Document"],
+        element_id=F.concat(F.lit("doc:"), F.col("doc_id")),
+        props={
+            "doc_id": F.col("doc_id"),
+            "lang": F.col("lang"),
+            "n_chars": F.col("n_chars"),
+            "source": F.col("source"),
+        },
+    )
+
+
+def concept_nodes(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame([(t,) for t in CONCEPT_TERMS], "name string")
+    return nodes_from(
+        df,
+        labels=["Concept"],
+        element_id=F.concat(F.lit("concept:"), F.col("name")),
+        props={"name": F.col("name")},
+    )
+
+
+def mention_edges(mentions: DataFrame) -> DataFrame:
+    return edges_from(
+        mentions,
+        rel_type="MENTIONS",
+        start_element_id=F.concat(F.lit("doc:"), F.col("doc_id")),
+        end_element_id=F.concat(F.lit("concept:"), F.col("concept")),
+        props={
+            "n_occurrences": F.col("n_occurrences"),
+            "first_offset": F.col("first_offset"),
+        },
+    )
+
+
+def documents_kg(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Full flagship: returns (nodes, hashed_edges)."""
+    docs = load_documents(spark, sf_dir)
+    nodes = nodes_union(document_nodes(docs), concept_nodes(spark))
+    edges = mention_edges(doc_mentions(docs))
+    hashed = attach_node_hashes(edges, nodes, broadcast_nodes=True)
+    return nodes, hashed
+
+
+def flagship_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``entry()`` result: hashed MENTIONS edges, stable column set."""
+    _, hashed = documents_kg(spark, sf_dir)
+    return hashed.select(
+        "element_id",
+        "label",
+        "start_element_id",
+        "end_element_id",
+        "start_node_content_hash",
+        "end_node_content_hash",
+        F.col("properties.n_occurrences").alias("n_occurrences"),
+        F.col("properties.first_offset").alias("first_offset"),
+    ).orderBy("start_element_id", "end_element_id")
