@@ -1,0 +1,98 @@
+"""Text-analysis functions for training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (rolling hash).
+All are pure column expressions (higher-order functions, regexes) — JVM-side,
+whole-stage-codegen'd, and expressible 1:1 in ANSI SQL for oracle checks.
+
+Integer-math policy: ratios are emitted as integer percentages (``100*x/y``
+with integer division) so cross-engine comparisons are bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (function words; extend per corpus).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "was", "for", "in"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "dans", "une"],
+    "es": ["el", "los", "las", "es", "para", "en", "una", "del"],
+    "de": ["der", "die", "das", "und", "ist", "für", "ein", "nicht"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.split(F.lower(text), " ")
+    return {lang: _hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id_col(text: Column) -> Column:
+    """Predicted language = argmax stopword hits; 'und' when all zero.
+    Ties broken by language-code order (deterministic)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # earlier lang wins ties → apply in reverse
+        best_lang = F.when(scores[lang] >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, scores[lang])
+    return best_lang
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(text, " "))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + single non-space
+    punctuation, the classic pre-tokenizer regex."""
+    return F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Integer quality metrics: token counts, type-token ratio %, stopword %,
+    alpha %, mean token length ×100."""
+    toks = F.split(text, " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(text)
+    n_alpha = F.regexp_count(text, F.lit("[A-Za-z]"))
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, F.lower(t))))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    # F.floor (not cast): DuckDB's double→int CAST rounds while Spark's
+    # truncates; FLOOR agrees everywhere
+    return {
+        "n_tokens": n_tokens,
+        "n_distinct_tokens": n_distinct,
+        "n_chars": n_chars,
+        "ttr_pct": F.floor(100 * n_distinct / safe_tokens),
+        "stopword_pct": F.floor(100 * n_stop / safe_tokens),
+        "alpha_pct": F.floor(100 * n_alpha / F.greatest(n_chars, F.lit(1))),
+        "mean_token_len_x100": F.floor(100 * (n_chars - (n_tokens - 1)) / safe_tokens),
+    }
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Rolling polynomial hash over tokens:
+    acc ← (acc*31 + ascii(first char) + len(token)) mod 1e9+7.
+
+    Shift-resistant doc fingerprint; exact in any engine (pure integer ops).
+    """
+    toks = F.split(text, " ")
+    vals = F.transform(toks, lambda t: (F.ascii(t) + F.length(t)).cast("long"))
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(FINGERPRINT_MOD),
+    )

@@ -1,0 +1,223 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``   — exact cosine top-k (baseline / verify kernel):
+  broadcast the query set, score every (query, item) pair JVM-side,
+  ``row_number`` window for the top-k.  Linear per query; right answer.
+- ``hyperplane_lsh_pairs`` / ``ivf_topk`` — the scale paths: random-
+  hyperplane sign buckets (cosine LSH) and a coarse-quantizer IVF built
+  with a deterministic k-means (computed in DataFrames, no MLlib dep),
+  probing only the nearest ``n_probe`` cells.
+
+Rank determinism: ties broken by item id, so results are reproducible and
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neo4j_export_tool_spark.functions.similarity import (
+    as_double_array,
+    cosine_col,
+    dot_col,
+)
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_id, rank, item_id, cosine) — exact top-k by cosine.
+
+    ``queries`` is expected to be small (broadcast); items can be any size.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    it = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"))
+    scored = q.crossJoin(it)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("item_id"))
+    scored = scored.withColumn("cosine", cosine_col(F.col("q_vec"), F.col("i_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (LCG; signs only
+    matter)."""
+    state = seed * 2654435761 % (1 << 32)
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / (1 << 30)) - 1.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(
+    df: DataFrame, vec_col: str, n_planes: int, dim: int, seed: int = 7
+) -> DataFrame:
+    """Add a ``bucket`` column: sign-pattern int over random hyperplanes."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    v = as_double_array(F.col(vec_col))
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        d = dot_col(v, plane)
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    min_cosine: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine near-dup pairs via multi-table hyperplane LSH + exact verify.
+
+    Each table buckets on an independent sign pattern; candidates = pairs
+    sharing a bucket in ANY table (union), verified with the exact cosine.
+    Shuffle key is (table, bucket) — uniform for centered data.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = None
+    for t in range(n_tables):
+        bucketed = hyperplane_signature(base, "v", n_planes, dim, seed=7 + t)
+        a = bucketed.select(F.col("id").alias("id_a"), F.col("bucket"))
+        b = bucketed.select(F.col("id").alias("id_b"), F.col("bucket"))
+        pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    verified = (
+        cand.join(base.withColumnsRenamed({"id": "id_a", "v": "v_a"}), "id_a")
+        .join(base.withColumnsRenamed({"id": "id_b", "v": "v_b"}), "id_b")
+        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    return verified.select("id_a", "id_b", "cosine")
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    seed: int = 11,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: deterministic Lloyd k-means over the items, computed
+    with DataFrame aggs (centroids collected to the driver each round —
+    n_cells×dim doubles, trivially small).  Items are assigned to their
+    nearest cell; each query probes its ``n_probe`` nearest cells only.
+    At 100 TB the cell assignment is the partition key (write bucketed by
+    cell), so a probe touches n_probe/n_cells of the data.
+    """
+    base = items.select(F.col(id_col).alias("item_id"), as_double_array(F.col(vec_col)).alias("v"))
+    base = base.persist()
+    # init: deterministic sample — lowest ids spread by modular stride
+    first = [
+        r["v"]
+        for r in base.orderBy(F.crc32(F.col("item_id").cast("string")) % 997, "item_id")
+        .limit(n_cells)
+        .collect()
+    ]
+    centroids = first
+    for _ in range(n_iters):
+        cent_df = F.broadcast(
+            base.sparkSession.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)], "cell int, c array<double>"
+            )
+        )
+        assigned = (
+            base.crossJoin(cent_df)
+            .withColumn("d", cosine_col(F.col("v"), F.col("c")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("item_id").orderBy(F.col("d").desc(), F.col("cell"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        agg = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(*[
+                    F.avg(F.col("v").getItem(i)) for i in range(len(centroids[0]))
+                ]).alias("c"),
+            )
+            .collect()
+        )
+        new = {r["cell"]: r["c"] for r in agg}
+        centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
+
+    cent_df = F.broadcast(
+        base.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cell int, c array<double>"
+        )
+    )
+    items_cells = (
+        base.crossJoin(cent_df)
+        .withColumn("d", cosine_col(F.col("v"), F.col("c")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("item_id").orderBy(F.col("d").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("item_id", F.col("v").alias("i_vec"), "cell")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("q_vec"))
+    q_cells = (
+        q.crossJoin(cent_df)
+        .withColumn("d", cosine_col(F.col("q_vec"), F.col("c")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = q_cells.join(items_cells, "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("item_id"))
+    scored = scored.withColumn("cosine", cosine_col(F.col("q_vec"), F.col("i_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cosine")
+    )
+    base.unpersist()
+    return out

@@ -1,0 +1,249 @@
+"""Deduplication family for training-data pipelines.
+
+Five tiers, all DataFrame-native:
+
+- ``exact_dedup``       — sha256(content) hash-groupBy.
+- ``jaccard_pairs``     — exact word-shingle set-similarity join (the verify
+                          kernel; quadratic in the worst case, use on blocked
+                          candidates or small partitions).
+- ``minhash_lsh_pairs`` — MinHash signatures → LSH band explode → bucket
+                          equi-join → exact-Jaccard verification.  The 100 TB
+                          path: candidate generation touches only docs that
+                          share a band bucket.
+- ``simhash_fingerprints`` / ``simhash_pairs`` — 32-bit SimHash + banded
+                          Hamming-distance candidate join.
+- ``embedding_neardup_pairs`` — cosine near-duplicates over an embedding
+                          column (brute force; the ANN module provides the
+                          bucketed scale path).
+
+Thresholds are evaluated in INTEGER arithmetic (``100*shared >=
+t*(na+nb-shared)``) so results are bit-stable across engines.
+
+Scale notes: the shingle self-join shuffles on shingle hash — frequent
+shingles create skew, so ``jaccard_pairs`` drops shingles with document
+frequency above ``max_shingle_df`` (stop-shingle pruning, standard in the
+set-similarity-join literature: they generate O(df²) candidate pairs while
+carrying almost no signal).  LSH bands shuffle on (band, key), which is
+uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_export_tool_spark.functions.similarity import (
+    band_hash_cols,
+    hamming_dist_col,
+    minhash_signature_col,
+    simhash_col,
+    tokens_col,
+    word_shingles_col,
+)
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """(content_sha256, canonical_id, n_copies) — canonical = min id."""
+    return (
+        df.groupBy(F.sha2(F.col(content_col), 256).alias("content_sha256"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles_col(tokens_col(F.col(text_col)), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_pct: int = 60,
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard pairs: (doc_a, doc_b, shared, n_a, n_b)
+    with 100*shared >= threshold_pct*(n_a+n_b-shared).  Integer-exact."""
+    sets = _shingle_sets(df, text_col, id_col, shingle_n)
+    sizes = sets.select("doc", F.size("shingles").alias("n"))
+    posting = sets.select("doc", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        df_counts = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        posting = posting.join(
+            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({"doc": "doc_a", "n": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n": "n_b"}), "doc_b")
+        .filter(
+            100 * F.col("shared")
+            >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+    )
+    return out.select("doc_a", "doc_b", "shared", "n_a", "n_b")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_pct: int = 60,
+    shingle_n: int = 3,
+    k: int = 64,
+    bands: int = 32,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified.
+
+    k=64 / b=32 / r=2: a true pair at Jaccard 0.6 escapes all bands with
+    probability (1-0.36)^32 ≈ 6e-7 — effectively recall 1, so the verified
+    output equals `jaccard_pairs` at the same threshold while candidate
+    generation stays near-linear.
+    """
+    rows = k // bands
+    sets = _shingle_sets(df, text_col, id_col, shingle_n)
+    sigs = sets.select(
+        "doc",
+        "shingles",
+        minhash_signature_col(F.col("shingles"), k=k, seed=seed).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc", F.explode(band_hash_cols(F.col("sig"), bands, rows)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification on the candidate set only
+    sh = sets.select("doc", "shingles")
+    verified = (
+        candidates.join(
+            sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
+        )
+        .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("shared"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(
+            100 * F.col("shared")
+            >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+    )
+    return verified
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """(doc, simhash) fingerprints — bit-exact in any engine."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        simhash_col(tokens_col(F.col(text_col)), bits=bits).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation: split the fingerprint into ``bands`` bit-blocks;
+    by pigeonhole any pair within ``max_hamming < bands`` shares at least one
+    exact block → equi-join per block, then verify the true distance.
+    """
+    fps = simhash_fingerprints(df, text_col, id_col, bits=bits)
+    block_bits = bits // bands
+    mask = (1 << block_bits) - 1
+    blocks = fps.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming_dist_col(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (exact baseline).
+
+    O(n²) — for the scale path use `operators.ann.hyperplane_lsh_pairs`.
+    """
+    from neo4j_export_tool_spark.functions.similarity import cosine_col
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

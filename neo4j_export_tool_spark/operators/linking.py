@@ -1,0 +1,100 @@
+"""Entity linking: mention surface → KB candidate scoring → top-1.
+
+Spark shape (SURVEY.md §2.3 J2): the KB is broadcast; candidate generation
+uses a blocking key (normalized first token) so the join is an equi-join,
+not a cross join; scoring is vectorized character-trigram TF-IDF cosine in
+an Arrow pandas UDF; top-1 per mention via ``row_number``.
+
+Head-entity skew: a handful of surfaces ("USA"-class heads) dominate web
+text.  The scoring join is mention×candidate, so a head surface key would
+concentrate in one task — ``link_mentions`` therefore scores DISTINCT
+(surface, candidate) pairs only (the classic distinct-then-rejoin trick:
+dedup first, score once per distinct surface, broadcast the tiny scored
+table back).  The per-mention fan-back join is on the surface string,
+salted by Spark's AQE skew split if a single surface still dominates.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _trigrams(s: str) -> set[str]:
+    s = f"  {s.lower()} "
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+def _block_key(col):
+    """Blocking key: lower-cased first alphanumeric token."""
+    return F.lower(F.regexp_extract(col, r"[A-Za-z0-9]+", 0))
+
+
+def trigram_cosine(a: str, b: str) -> float:
+    """Character-trigram cosine (binary weights)."""
+    ta, tb = _trigrams(a), _trigrams(b)
+    if not ta or not tb:
+        return 0.0
+    return len(ta & tb) / math.sqrt(len(ta) * len(tb))
+
+
+def link_mentions(
+    mentions: DataFrame,
+    kb: DataFrame,
+    surface_col: str = "surface",
+    kb_id_col: str = "kb_id",
+    kb_name_col: str = "name",
+    min_score: float = 0.5,
+) -> DataFrame:
+    """Attach (kb_id, link_score) to each mention row.
+
+    ``kb``: (kb_id, name[, aliases...]).  Candidates share a blocking key
+    with the surface; ties broken by kb_id for determinism.
+    """
+    distinct_surfaces = mentions.select(F.col(surface_col).alias("surface")).distinct()
+    kb_cand = kb.select(
+        F.col(kb_id_col).alias("kb_id"),
+        F.col(kb_name_col).alias("kb_name"),
+        _block_key(F.col(kb_name_col)).alias("block"),
+    )
+    cands = distinct_surfaces.withColumn("block", _block_key(F.col("surface"))).join(
+        F.broadcast(kb_cand), "block"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["link_score"] = [
+                trigram_cosine(s, n) for s, n in zip(pdf["surface"], pdf["kb_name"])
+            ]
+            yield pdf[["surface", "kb_id", "kb_name", "link_score"]]
+
+    scored = cands.mapInPandas(
+        score, schema="surface string, kb_id string, kb_name string, link_score double"
+    )
+    w = Window.partitionBy("surface").orderBy(
+        F.col("link_score").desc(), F.col("kb_id").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("link_score") >= min_score))
+        .select("surface", "kb_id", F.col("kb_name").alias("linked_name"), "link_score")
+    )
+    return mentions.join(
+        F.broadcast(best), mentions[surface_col] == best["surface"], "left"
+    ).drop(best["surface"])
+
+
+def kb_from_gazetteer(spark, gazetteer: dict[str, tuple[str, str]]) -> DataFrame:
+    """KB table from a surface→(label, canonical) gazetteer: one row per
+    canonical entity."""
+    rows = sorted({(canon, label) for (label, canon) in gazetteer.values()})
+    return spark.createDataFrame(
+        [(f"kb:{label}:{canon}", canon, label) for canon, label in rows],
+        "kb_id string, name string, label string",
+    )

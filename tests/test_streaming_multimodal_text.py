@@ -1,0 +1,140 @@
+"""Structured Streaming equivalence, multimodal plumbing, text functions."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_export_tool_spark.functions.text import (
+    fingerprint_col,
+    lang_id_col,
+    quality_metrics,
+    token_count_bpe,
+    token_count_ws,
+)
+from neo4j_export_tool_spark.operators.multimodal import (
+    extract_media_features,
+    fake_decode_meta,
+    require_codec,
+)
+from neo4j_export_tool_spark.streaming.events import (
+    batch_event_stats,
+    incremental_export_stream,
+    run_stream_to_memory,
+    stream_events,
+    windowed_event_stats,
+)
+
+
+# --- streaming ------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events parquet split into several files to get multiple micro-batches."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_windowed_stream_equals_batch(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    streamed = run_stream_to_memory(
+        spark, windowed_event_stats(stream), "win_stats", output_mode="complete"
+    )
+    batch = batch_event_stats(spark.read.parquet(events_dir))
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    assert len(s) > 0
+
+
+def test_incremental_export_stream(spark, events_dir, tmp_path):
+    out = str(tmp_path / "jsonl")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_export_stream(stream_events(spark, events_dir), out, ckpt)
+    q.awaitTermination()
+    n_lines = spark.read.text(out).count()
+    n_events = spark.read.parquet(events_dir).count()
+    assert n_lines == n_events
+    # exactly-once: re-running with the same checkpoint adds nothing
+    q2 = incremental_export_stream(stream_events(spark, events_dir), out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.text(out).count() == n_events
+
+
+# --- multimodal -----------------------------------------------------------
+
+def test_codec_stub_raises():
+    with pytest.raises(NotImplementedError, match="media codec"):
+        require_codec("image")
+
+
+def test_media_feature_plumbing(spark):
+    rows = [
+        ("m1", "image", b"\x89PNG fake bytes", ("image/png", 15, "u1")),
+        ("m2", "audio", b"RIFF fake", ("audio/wav", 9, "u2")),
+        ("m3", "image", None, ("image/png", 0, "u3")),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, "
+        "meta struct<content_type:string, n_bytes:long, source_url:string>",
+    )
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert feats["m1"]["n_bytes"] == 15
+    w, h = fake_decode_meta(b"\x89PNG fake bytes")
+    assert (feats["m1"]["fake_width"], feats["m1"]["fake_height"]) == (w, h)
+    assert feats["m3"]["n_bytes"] == 0
+    assert len(feats["m1"]["payload_sha256"]) == 64
+
+
+# --- text functions ---------------------------------------------------------
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in a house"),
+            (2, "le chat est dans la maison pour une nuit"),
+            (3, "el perro es para las casas en una calle"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select("id", lang_id_col(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "fr"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello world, it's 42 degrees!")], "id long, text string")
+    r = df.select(
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert r["ws"] == 5
+    # Hello|world|,|it|'|s|42|degrees|! → 9
+    assert r["bpe"] == 9
+
+
+def test_quality_metrics_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick fox the quick fox"), (2, "the quick fox the quick fox"), (3, "other words here")],
+        "id long, text string",
+    )
+    qm = quality_metrics(F.col("text"))
+    out = df.select("id", *[c.alias(k) for k, c in qm.items()],
+                    fingerprint_col(F.col("text")).alias("fp")).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n_tokens"] == 6
+    assert by_id[1]["n_distinct_tokens"] == 3
+    assert by_id[1]["ttr_pct"] == 50
+    assert by_id[1]["fp"] == by_id[2]["fp"]  # identical text → identical fp
+    assert by_id[1]["fp"] != by_id[3]["fp"]
+    assert 0 <= by_id[1]["fp"] < 1_000_000_007
