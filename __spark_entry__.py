@@ -202,6 +202,239 @@ def _q12_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q13_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-shingle Jaccard near-dup pairs (integer-exact threshold)."""
+    from neo4j_export_tool_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "text", "doc_id", threshold_pct=60, shingle_n=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _q14_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified (k=64/b=32 → recall ≈ 1, so
+    the result equals the exact Jaccard join and shares its oracle)."""
+    from neo4j_export_tool_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold_pct=60, shingle_n=3
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (md5-derived bit votes, engine-portable)."""
+    from neo4j_export_tool_spark.operators.dedup import simhash_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        simhash_fingerprints(docs, "text", "doc_id")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sequential-double math, exact)."""
+    from neo4j_export_tool_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", min_cosine=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q17_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (query set = vec_id < 10)."""
+    from neo4j_export_tool_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _q18_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: opaque payloads → per-payload features
+    via Arrow batches (deterministic fake decode; real codec stubbed)."""
+    from neo4j_export_tool_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.lit("text-as-binary").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("content_type"),
+            F.length(F.col("text")).cast("long").alias("n_bytes"),
+            F.lit("synthetic").alias("source_url"),
+        ).alias("meta"),
+    )
+    return extract_media_features(media).orderBy("media_id")
+
+
+def _q19_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-hit argmax with deterministic tie-break."""
+    from neo4j_export_tool_spark.functions.text import lang_id_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def _q20_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: integer-exact token/char/stopword/TTR metrics."""
+    from neo4j_export_tool_spark.functions.text import quality_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    qm = quality_metrics(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in qm.items()]).orderBy(
+        "doc_id"
+    )
+
+
+def _q21_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting."""
+    from neo4j_export_tool_spark.functions.text import token_count_bpe, token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: rolling polynomial hash over tokens."""
+    from neo4j_export_tool_spark.functions.text import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def _q23_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (SURVEY §2.5 W analogs): row_number, lag, running sum
+    per user in integer cents."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.lag(cents).over(w).alias("prev_value_c"),
+            F.sum(cents).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("running_c"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when the per-user gap exceeds 1 hour."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    is_new = F.when(gap.isNull() | (gap > 3_600_000_000), 1).otherwise(0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(is_new)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("session_seq"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _q25_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative label-propagation CC over doc chains within (source, lang);
+    oracle = group minimum (same answer, closed form)."""
+    from pyspark.sql import Window
+
+    from neo4j_export_tool_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    edges = (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("next_id", F.lead("doc_id").over(w))
+        .filter(F.col("next_id").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("next_id").alias("dst"))
+    )
+    res = connected_components(edges, max_iterations=30)
+    return (
+        docs.select("doc_id")
+        .join(res.components, docs["doc_id"] == res.components["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q26_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (streaming twin verified in pytest)."""
+    from neo4j_export_tool_spark.streaming.events import batch_event_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = batch_event_stats(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value_c",
+    ).orderBy("window_start", "event_type")
+
+
+def _q27_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH cosine pairs (approximate candidates, exact-verified;
+    recall < 1 by design → rows-only driver check, precision guaranteed)."""
+    from neo4j_export_tool_spark.operators.ann import hyperplane_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(
+        emb, "embedding", "vec_id", min_cosine=0.5, dim=64
+    ).orderBy("id_a", "id_b")
+
+
+def _q28_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking: blocked broadcast candidates + trigram-cosine scoring
+    (pandas-UDF scorer → rows-only driver check; exactness covered in pytest)."""
+    from neo4j_export_tool_spark.operators.linking import link_mentions
+    from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
+
+    docs = load_documents(spark, sf_dir)
+    mentions = doc_mentions(docs).select(
+        "doc_id", F.col("concept").alias("surface"), "n_occurrences"
+    )
+    kb = spark.createDataFrame(
+        [(f"kb:{t}", t) for t in ("join", "hash", "merge", "sort", "scan", "filter")],
+        "kb_id string, name string",
+    )
+    linked = link_mentions(mentions, kb)
+    return (
+        linked.filter(F.col("kb_id").isNotNull())
+        .select("doc_id", "surface", "kb_id", "link_score")
+        .orderBy("doc_id", "surface")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -216,6 +449,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_distinct_labels": _q10_distinct_labels,
         "q11_dedup_exact": _q11_dedup_exact,
         "q12_token_stats": _q12_token_stats,
+        "q13_dedup_jaccard": _q13_dedup_jaccard,
+        "q14_dedup_minhash_lsh": _q14_dedup_minhash_lsh,
+        "q15_simhash": _q15_simhash,
+        "q16_embedding_neardup": _q16_embedding_neardup,
+        "q17_ann_topk": _q17_ann_topk,
+        "q18_media_features": _q18_media_features,
+        "q19_lang_id": _q19_lang_id,
+        "q20_quality": _q20_quality,
+        "q21_token_bpe": _q21_token_bpe,
+        "q22_fingerprint": _q22_fingerprint,
+        "q23_events_window": _q23_events_window,
+        "q24_sessionize": _q24_sessionize,
+        "q25_connected_components": _q25_connected_components,
+        "q26_event_time_windows": _q26_event_time_windows,
+        "q27_ann_lsh_pairs": _q27_ann_lsh_pairs,
+        "q28_entity_linking": _q28_entity_linking,
     }
 
 
@@ -249,6 +498,78 @@ _DOC_NODE_HASH = (
 )
 
 _CONCEPT_NODE_HASH = "sha256('node:Concept:{\"name\":\"' || concept || '\"}')"
+
+
+_SHINGLE_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         )) AS shingles
+  FROM tok
+), posting AS (
+  SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0
+), sizes AS (
+  SELECT doc_id AS doc, len(shingles) AS n FROM sets WHERE len(shingles) > 0
+), shared AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b
+FROM shared
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE 100 * shared >= 60 * (sa.n + sb.n - shared)
+ORDER BY doc_a, doc_b
+"""
+
+_SIMHASH_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN ((hv >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32)
+)
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+), votes AS (
+  SELECT doc_id, {_SIMHASH_VOTES}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({_SIMHASH_FP})::BIGINT AS simhash FROM votes ORDER BY doc_id
+"""
+
+_LANG_LISTS = {
+    "de": "'der','die','das','und','ist','für','ein','nicht'",
+    "en": "'the','a','of','and','is','was','for','in'",
+    "es": "'el','los','las','es','para','en','una','del'",
+    "fr": "'le','la','les','et','est','pour','dans','une'",
+}
+_LANG_SCORES = ",\n       ".join(
+    f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({words}))) AS s_{lang}"
+    for lang, words in _LANG_LISTS.items()
+)
+_LANG_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+       {_LANG_SCORES}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM scored ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -337,4 +658,119 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
             FROM documents ORDER BY doc_id
         """,
+        "q13_dedup_jaccard": _SHINGLE_JACCARD_SQL,
+        # verified LSH output equals the exact join at the same threshold
+        "q14_dedup_minhash_lsh": _SHINGLE_JACCARD_SQL,
+        "q15_simhash": _SIMHASH_SQL,
+        # cosine built from list_dot_product with the engine's exact formula
+        # (dot / sqrt(nsq_a * nsq_b)); list_cosine_similarity differs in the
+        # last ulp on some pairs
+        "q16_embedding_neardup": """
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                            * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.5 ORDER BY id_a, id_b
+        """,
+        "q17_ann_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+                     list_dot_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[])
+                     / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                            * list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])) AS cosine
+              FROM embeddings q JOIN embeddings i
+                ON q.vec_id < 10 AND q.vec_id != i.vec_id
+            ), ranked AS (
+              SELECT query_id, item_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, item_id) AS "rank"
+              FROM scored
+            )
+            SELECT query_id, "rank", item_id, cosine FROM ranked
+            WHERE "rank" <= 5 ORDER BY query_id, "rank"
+        """,
+        "q18_media_features": """
+            SELECT 'm' || doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS payload_sha256,
+                   (octet_length(encode(text)) % 640) + 1 AS fake_width,
+                   (octet_length(encode(text)) % 480) + 1 AS fake_height
+            FROM documents ORDER BY media_id
+        """,
+        "q19_lang_id": _LANG_SQL,
+        "q20_quality": """
+            WITH m AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                     len(list_filter(string_split(text, ' '),
+                         t -> lower(t) IN ('the','a','of','and','is','was','for','in'))) AS n_stop
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, n_distinct_tokens, n_chars,
+                   CAST(FLOOR(100 * n_distinct_tokens / greatest(n_tokens, 1)) AS BIGINT) AS ttr_pct,
+                   CAST(FLOOR(100 * n_stop / greatest(n_tokens, 1)) AS BIGINT) AS stopword_pct,
+                   CAST(FLOOR(100 * n_alpha / greatest(n_chars, 1)) AS BIGINT) AS alpha_pct,
+                   CAST(FLOOR(100 * (n_chars - (n_tokens - 1)) / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_x100
+            FROM m ORDER BY doc_id
+        """,
+        "q21_token_bpe": r"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "q22_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ' '),
+                         t -> (CASE WHEN t = '' THEN 0 ELSE ord(t) END + length(t))::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 1000000007
+                   ) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "q23_events_window": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS rn,
+                   lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_value_c,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS running_c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        "q24_sessionize": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM g ORDER BY event_id
+        """,
+        "q25_connected_components": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY source, lang) AS component
+            FROM documents ORDER BY doc_id
+        """,
+        "q26_event_time_windows": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # q27_ann_lsh_pairs / q28_entity_linking: approximate / pandas-UDF
+        # scored — intentionally rows-only (driver records the weaker check).
     }

@@ -24,8 +24,22 @@ def word_shingles_col(toks: Column, n: int) -> Column:
     """Distinct word n-gram shingles as array<string> (space-joined)."""
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    # guard: sequence(1, 0) DESCENDS in Spark → explicit empty for short docs
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+    return F.array_distinct(grams)
+
+
+def char_shingles_col(s: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a (short) string — the right shingle
+    unit for entity surface forms.  Strings shorter than n shingle to
+    themselves."""
+    idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+    grams = F.when(F.length(s) < n, F.array(s)).otherwise(
+        F.transform(idx, lambda i: F.substring(s, i, n))
+    )
     return F.array_distinct(grams)
 
 

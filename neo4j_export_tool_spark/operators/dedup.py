@@ -110,15 +110,30 @@ def minhash_lsh_pairs(
     bands: int = 32,
     seed: int = 1,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-verified.
+    """MinHash-LSH near-dup pairs over word shingles, exact-verified.
 
     k=64 / b=32 / r=2: a true pair at Jaccard 0.6 escapes all bands with
     probability (1-0.36)^32 ≈ 6e-7 — effectively recall 1, so the verified
     output equals `jaccard_pairs` at the same threshold while candidate
     generation stays near-linear.
     """
-    rows = k // bands
     sets = _shingle_sets(df, text_col, id_col, shingle_n)
+    return minhash_lsh_pairs_from_sets(
+        sets, threshold_pct=threshold_pct, k=k, bands=bands, seed=seed
+    )
+
+
+def minhash_lsh_pairs_from_sets(
+    sets: DataFrame,
+    threshold_pct: int = 60,
+    k: int = 64,
+    bands: int = 32,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash-LSH over a precomputed (doc, shingles array<string>) table —
+    the generic entry used for both document near-dup (word shingles) and
+    surface-form canonicalization (char shingles)."""
+    rows = k // bands
     sigs = sets.select(
         "doc",
         "shingles",
