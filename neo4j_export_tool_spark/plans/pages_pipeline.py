@@ -1,0 +1,297 @@
+"""End-to-end KG construction over web pages, with a resumable stage ledger.
+
+The north-star dataflow (SURVEY.md §3 'Spark lifecycle equivalent'):
+
+    pages ─extract──► text ─mentions──► mentions ─link──► linked
+                         └─triples──► triples ──────────────┤
+    surfaces ─LSH+CC──► canonical map ──────────────────────┤
+                                                            ▼
+                nodes / edges (+content hashes, J1 join) ──► parquet + JSONL
+
+Every stage is (parquet in) → (parquet out + metrics); a completed stage is
+recorded in the ledger (``_ledger/<stage>.json`` next to the stage output)
+and skipped on re-run — the checkpoint/resume capability the reference lists
+as future work (``docs/Improvements.md:158``) and the north rule requires.
+Stage outputs are content-addressed by an input fingerprint, so a resumed
+run with different input invalidates downstream stages instead of silently
+reusing them.
+
+Metrics per stage: row count, wall seconds, per-partition row counts —
+written into the ledger entry (the Spark analog of the reference's per-label
+stats + batch-timing trackers, ``Export/Types.fs:140-216``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_export_tool_spark.operators.canonicalize import canonicalize_surfaces
+from neo4j_export_tool_spark.operators.extract import extract_text_udf
+from neo4j_export_tool_spark.operators.graph import (
+    attach_node_hashes,
+    edges_from,
+    nodes_from,
+    nodes_union,
+)
+from neo4j_export_tool_spark.operators.linking import kb_from_gazetteer, link_mentions
+from neo4j_export_tool_spark.operators.mentions import (
+    build_relation_patterns,
+    detect_mentions,
+    extract_triples,
+)
+
+
+# ---------------------------------------------------------------------------
+# stage ledger
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StageLedger:
+    """Records completed stages: output path + metrics + input fingerprint."""
+
+    work_dir: str
+
+    def _entry_path(self, stage: str) -> str:
+        return os.path.join(self.work_dir, "_ledger", f"{stage}.json")
+
+    def output_path(self, stage: str) -> str:
+        return os.path.join(self.work_dir, "stages", stage)
+
+    def read(self, stage: str) -> dict[str, Any] | None:
+        try:
+            with open(self._entry_path(stage), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def is_done(self, stage: str, fingerprint: str) -> bool:
+        entry = self.read(stage)
+        return bool(
+            entry
+            and entry.get("fingerprint") == fingerprint
+            and os.path.exists(os.path.join(self.output_path(stage), "_SUCCESS"))
+        )
+
+    def mark_done(self, stage: str, fingerprint: str, metrics: dict[str, Any]) -> None:
+        os.makedirs(os.path.dirname(self._entry_path(stage)), exist_ok=True)
+        with open(self._entry_path(stage), "w", encoding="utf-8") as f:
+            json.dump({"fingerprint": fingerprint, "metrics": metrics}, f, indent=1)
+
+    def invalidate(self, stage: str) -> None:
+        try:
+            os.remove(self._entry_path(stage))
+        except FileNotFoundError:
+            pass
+
+
+def _partition_counts(df: DataFrame) -> list[int]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .orderBy("pid")
+        .collect()
+    )
+    return [r["count"] for r in rows]
+
+
+@dataclass
+class PipelineResult:
+    work_dir: str
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+    metrics: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+
+class PagesPipeline:
+    """Configurable KG pipeline over a pages table
+    (url, warc_ts, html, text, lang)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        gazetteer: dict[str, tuple[str, str]],
+        relation_templates: list[tuple[str, str, str, str]],
+        surfaces_by_label: dict[str, list[str]],
+        resume: bool = True,
+    ):
+        self.spark = spark
+        self.work_dir = work_dir
+        self.gazetteer = gazetteer
+        self.templates = relation_templates
+        self.surfaces_by_label = surfaces_by_label
+        self.resume = resume
+        self.ledger = StageLedger(work_dir)
+        self.result = PipelineResult(work_dir)
+
+    # -- stage runner -------------------------------------------------------
+
+    def _run_stage(
+        self,
+        stage: str,
+        fingerprint: str,
+        compute: Callable[[], DataFrame],
+        partition_by: str | None = None,
+    ) -> DataFrame:
+        out = self.ledger.output_path(stage)
+        if self.resume and self.ledger.is_done(stage, fingerprint):
+            self.result.stages_skipped.append(stage)
+            return self.spark.read.parquet(out)
+        t0 = time.perf_counter()
+        df = compute()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(out)
+        materialized = self.spark.read.parquet(out)
+        metrics = {
+            "rows": materialized.count(),
+            "seconds": round(time.perf_counter() - t0, 3),
+            "partition_rows": _partition_counts(materialized),
+        }
+        self.ledger.mark_done(stage, fingerprint, metrics)
+        self.result.stages_run.append(stage)
+        self.result.metrics[stage] = metrics
+        return materialized
+
+    # -- stages ---------------------------------------------------------------
+
+    def run(self, pages: DataFrame, fingerprint: str) -> PipelineResult:
+        """Run all stages. ``fingerprint``: identifies the input snapshot
+        (e.g. corpus size + seed, or an Iceberg snapshot id)."""
+        fp = fingerprint
+
+        extracted = self._run_stage(
+            "extract",
+            fp,
+            lambda: pages.select(
+                "url",
+                "warc_ts",
+                "lang",
+                extract_text_udf(F.col("html")).alias("text"),
+            ),
+        )
+
+        mentions = self._run_stage(
+            "mentions",
+            fp,
+            lambda: detect_mentions(extracted, self.gazetteer),
+        )
+
+        triples = self._run_stage(
+            "triples",
+            fp,
+            lambda: extract_triples(
+                extracted,
+                build_relation_patterns(self.templates, self.surfaces_by_label),
+            ),
+        )
+
+        canonical_map = self._run_stage(
+            "canonicalize",
+            fp,
+            lambda: canonicalize_surfaces(
+                mentions.select("surface"), threshold_pct=40
+            ),
+        )
+
+        linked = self._run_stage(
+            "link",
+            fp,
+            lambda: link_mentions(
+                mentions, kb_from_gazetteer(self.spark, self.gazetteer)
+            ).select(
+                "url", "surface", "label", "canonical", "start", "end",
+                "kb_id", "linked_name", "link_score",
+            ),
+        )
+
+        nodes = self._run_stage("nodes", fp, lambda: self._build_nodes(linked))
+        edges = self._run_stage(
+            "edges", fp, lambda: self._build_edges(triples, linked, nodes)
+        )
+        return self.result
+
+    # -- graph materialization ------------------------------------------------
+
+    def _entity_nodes(self, linked: DataFrame) -> DataFrame:
+        """One node per linked canonical entity (label from the gazetteer)."""
+        ents = (
+            linked.filter(F.col("kb_id").isNotNull())
+            .select(
+                F.col("linked_name").alias("name"), F.col("label").alias("ent_label")
+            )
+            .distinct()
+        )
+        return nodes_from(
+            ents,
+            labels=F.array(F.col("ent_label")),
+            element_id=F.concat(F.lit("entity:"), F.col("ent_label"), F.lit(":"), F.col("name")),
+            props={"name": F.col("name")},
+        )
+
+    def _build_nodes(self, linked: DataFrame) -> DataFrame:
+        return nodes_union(self._entity_nodes(linked))
+
+    def _build_edges(
+        self, triples: DataFrame, linked: DataFrame, nodes: DataFrame
+    ) -> DataFrame:
+        """Triples → entity-to-entity edges with provenance properties.
+
+        Surface forms resolve to canonical entities through the linked
+        mentions (a broadcast-sized distinct surface → entity map).
+        """
+        surf_map = F.broadcast(
+            linked.filter(F.col("kb_id").isNotNull())
+            .select(
+                F.col("surface"),
+                F.col("label").alias("ent_label"),
+                F.col("linked_name").alias("entity"),
+            )
+            .distinct()
+        )
+        resolved = (
+            triples.join(
+                surf_map.withColumnsRenamed(
+                    {"surface": "subj_surface", "ent_label": "s_label", "entity": "s_entity"}
+                ),
+                "subj_surface",
+            )
+            .join(
+                surf_map.withColumnsRenamed(
+                    {"surface": "obj_surface", "ent_label": "o_label", "entity": "o_entity"}
+                ),
+                "obj_surface",
+            )
+        )
+        edges = edges_from(
+            resolved,
+            rel_type=F.upper(F.col("pred")),
+            start_element_id=F.concat(
+                F.lit("entity:"), F.col("s_label"), F.lit(":"), F.col("s_entity")
+            ),
+            end_element_id=F.concat(
+                F.lit("entity:"), F.col("o_label"), F.lit(":"), F.col("o_entity")
+            ),
+            props={
+                "source_url": F.col("url"),
+                "char_start": F.col("char_start"),
+            },
+        )
+        return attach_node_hashes(edges, nodes, broadcast_nodes=True).select(
+            "element_id",
+            "label",
+            "start_element_id",
+            "end_element_id",
+            "start_node_content_hash",
+            "end_node_content_hash",
+            F.to_json("properties").alias("properties_json"),
+        )
