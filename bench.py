@@ -68,8 +68,29 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         kg_sec = time.perf_counter() - t0
         timings["flagship_kg"] = round(kg_sec, 3)
 
+        # JSONL export throughput (comparable to the reference's 50-60K
+        # records/s single-thread streaming export)
+        import tempfile
+
+        from neo4j_export_tool_spark.sources.jsonl_sink import (
+            export_jsonl,
+            with_properties_json,
+        )
+
+        nodes, _ = documents_kg(spark, sf_dir)
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            res = export_jsonl(
+                nodes, with_properties_json(hashed), td, db_name="bench"
+            )
+            export_sec = time.perf_counter() - t0
+            export_records = res.node_count + res.rel_count
+        timings["jsonl_export"] = round(export_sec, 3)
+
         total = round(sum(timings.values()), 3)
         return {
+            "export_records": export_records,
+            "export_records_per_sec": round(export_records / export_sec, 1),
             "metric": "headline_queries_total_sec",
             "value": total,
             "unit": "sec",

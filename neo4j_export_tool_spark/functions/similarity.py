@@ -52,14 +52,24 @@ def shingle_hash_col(shingle: Column) -> Column:
     return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
 
 
-def minhash_signature_col(shingles: Column, k: int, seed: int = 1) -> Column:
+def hashed_shingles_col(shingles: Column) -> Column:
+    """Pre-hash a shingle set once (md5 → 31-bit ints).  Materialize this as
+    its own column before building MinHash signatures: Catalyst does not
+    CSE higher-order-function subtrees, so inlining it would recompute the
+    md5 k times (once per signature slot)."""
+    return F.transform(shingles, lambda s: shingle_hash_col(s) % F.lit(MERSENNE_PRIME))
+
+
+def minhash_signature_col(
+    shingles: Column, k: int, seed: int = 1, pre_hashed: bool = False
+) -> Column:
     """k-permutation MinHash signature as array<bigint>.
 
     h_i(x) = (a_i * h(x) + b_i) mod p  with p = 2^31-1 (classic Broder
     construction); a_i/b_i derived deterministically from ``seed``.
     Empty shingle sets yield p (sentinel max) in every slot.
     """
-    h = F.transform(shingles, lambda s: shingle_hash_col(s) % F.lit(MERSENNE_PRIME))
+    h = shingles if pre_hashed else hashed_shingles_col(shingles)
 
     sig = []
     rnd = _lcg(seed)
@@ -117,23 +127,29 @@ def simhash_col(toks: Column, bits: int = 32) -> Column:
     """SimHash fingerprint over tokens (with multiplicity), ``bits`` wide.
 
     Per token: 60-bit md5-derived hash; bit j votes +1/-1; fingerprint bit j
-    set iff the vote sum is positive.  Pure higher-order-function SQL, exact
-    in any engine.
+    set iff the vote sum is positive.  Single-pass array-valued aggregate —
+    one md5 + one walk per token (the naive per-bit formulation recomputes
+    both ``bits`` times; Catalyst doesn't CSE higher-order subtrees).
+    Exact in any engine.
     """
     h = F.transform(toks, lambda t: shingle_hash_col(t))
-    acc = F.lit(0).cast("long")
-    fp = acc
-    for j in range(bits):
-        votes = F.aggregate(
-            h,
-            F.lit(0).cast("long"),
-            lambda a, x: a
-            + F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        fp = fp + F.when(votes > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return fp
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(x.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    weighted = F.zip_with(
+        votes,
+        masks,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def hamming_dist_col(a: Column, b: Column) -> Column:

@@ -36,16 +36,28 @@ def brute_force_topk(
 
     ``queries`` is expected to be small (broadcast); items can be any size.
     """
+    from neo4j_export_tool_spark.functions.similarity import norm_sq_col
+
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_sq_col(F.col(vec_col)).alias("q_nsq"),
         )
     )
-    it = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"))
+    it = items.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("i_vec"),
+        norm_sq_col(F.col(vec_col)).alias("i_nsq"),
+    )
     scored = q.crossJoin(it)
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("item_id"))
-    scored = scored.withColumn("cosine", cosine_col(F.col("q_vec"), F.col("i_vec")))
+    scored = scored.withColumn(
+        "cosine",
+        dot_col(F.col("q_vec"), F.col("i_vec"))
+        / F.sqrt(F.col("q_nsq") * F.col("i_nsq")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("item_id").asc()
     )

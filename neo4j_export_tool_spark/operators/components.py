@@ -79,6 +79,27 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
+        # pointer doubling (path compression): follow component → its
+        # component one hop, halving chain depth → O(log n) rounds on chains
+        # instead of O(diameter)
+        comp_map = new_labels.select(
+            F.col("id").alias("cid"), F.col("component").alias("ccomp")
+        )
+        new_labels = (
+            new_labels.join(
+                comp_map, new_labels["component"] == comp_map["cid"], "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("ccomp", F.col("component"))
+                ).alias("component"),
+                (
+                    F.col("_changed")
+                    | (F.coalesce("ccomp", F.col("component")) < F.col("component"))
+                ).alias("_changed"),
+            )
+        )
         if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
             new_labels = new_labels.checkpoint(eager=False)
         new_labels = new_labels.persist()

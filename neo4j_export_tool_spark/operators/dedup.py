@@ -33,9 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from neo4j_export_tool_spark.functions.similarity import (
-    band_hash_cols,
     hamming_dist_col,
-    minhash_signature_col,
     simhash_col,
     tokens_col,
     word_shingles_col,
@@ -132,15 +130,61 @@ def minhash_lsh_pairs_from_sets(
 ) -> DataFrame:
     """MinHash-LSH over a precomputed (doc, shingles array<string>) table —
     the generic entry used for both document near-dup (word shingles) and
-    surface-form canonicalization (char shingles)."""
+    surface-form canonicalization (char shingles).
+
+    Signatures are computed as k ``min`` aggregates over the exploded
+    (doc, shingle-hash) posting list: each shingle is md5-hashed exactly
+    once and everything stays in whole-stage codegen (the array-HOF
+    formulation recomputes the hash per signature slot — Catalyst does not
+    CSE lambda subtrees).  The explode+groupBy shuffles on doc id, which is
+    uniform; at 10^12 docs this is the linear-cost stage, and band-bucket
+    join cost is bounded by bucket occupancy, not n²."""
+    from neo4j_export_tool_spark.functions.similarity import (
+        MERSENNE_PRIME,
+        _lcg,
+        shingle_hash_col,
+    )
+
     rows = k // bands
-    sigs = sets.select(
-        "doc",
-        "shingles",
-        minhash_signature_col(F.col("shingles"), k=k, seed=seed).alias("sig"),
+    rnd = _lcg(seed)
+    params = []
+    for _ in range(k):
+        a = next(rnd) % (MERSENNE_PRIME - 1) + 1
+        b = next(rnd) % MERSENNE_PRIME
+        params.append((a, b))
+
+    posting = sets.select(
+        "doc", F.explode("shingles").alias("sh")
+    ).withColumn("h", shingle_hash_col(F.col("sh")) % F.lit(MERSENNE_PRIME))
+    sigs = posting.groupBy("doc").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
     )
     banded = sigs.select(
-        "doc", F.explode(band_hash_cols(F.col("sig"), bands, rows)).alias("bk")
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col(f"m{band * rows + r}").cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a = banded.alias("a")
@@ -251,14 +295,29 @@ def embedding_neardup_pairs(
     """Brute-force cosine near-dup pairs (exact baseline).
 
     O(n²) — for the scale path use `operators.ann.hyperplane_lsh_pairs`.
+    Norms are precomputed per vector BEFORE the pair join (computing them
+    inside the pair expression would redo 2n² norm walks; this does n).
     """
-    from neo4j_export_tool_spark.functions.similarity import cosine_col
+    from neo4j_export_tool_spark.functions.similarity import dot_col, norm_sq_col
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_sq_col(F.col(vec_col)).alias("nsq"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nsq").alias("nsq_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nsq").alias("nsq_b")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .withColumn(
+            "cosine",
+            dot_col(F.col("v_a"), F.col("v_b"))
+            / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
+        )
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

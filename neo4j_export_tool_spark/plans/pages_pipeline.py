@@ -218,7 +218,31 @@ class PagesPipeline:
         edges = self._run_stage(
             "edges", fp, lambda: self._build_edges(triples, linked, nodes)
         )
+        self._export_stage(nodes, edges, fp)
         return self.result
+
+    def _export_stage(self, nodes: DataFrame, edges: DataFrame, fp: str) -> None:
+        """JSONL export as a ledger stage (reference-format file)."""
+        from neo4j_export_tool_spark.sources.jsonl_sink import export_jsonl
+
+        stage = "export"
+        out = self.ledger.output_path(stage)
+        if self.resume and self.ledger.is_done(stage, fp):
+            self.result.stages_skipped.append(stage)
+            return
+        t0 = time.perf_counter()
+        res = export_jsonl(nodes, edges, out, db_name="pages_kg")
+        # the sink writes its own file; add a _SUCCESS marker for the ledger
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+        metrics = {
+            "rows": res.node_count + res.rel_count,
+            "seconds": round(time.perf_counter() - t0, 3),
+            "partition_rows": [res.node_count, res.rel_count],
+            "file": res.path,
+        }
+        self.ledger.mark_done(stage, fp, metrics)
+        self.result.stages_run.append(stage)
+        self.result.metrics[stage] = metrics
 
     # -- graph materialization ------------------------------------------------
 

@@ -51,6 +51,7 @@ def test_all_stages_ran(first_run):
         "link",
         "nodes",
         "edges",
+        "export",
     ]
     assert first_run.stages_skipped == []
     for stage, m in first_run.metrics.items():
@@ -112,7 +113,7 @@ def test_resume_skips_completed_stages(spark, work_dir, first_run):
     )
     res = pipe.run(pages, fingerprint=f"synth:{N_DOCS}:{SEED}")
     assert res.stages_run == []
-    assert len(res.stages_skipped) == 7
+    assert len(res.stages_skipped) == 8
 
 
 def test_invalidated_stage_recomputes(spark, work_dir, first_run):
@@ -133,7 +134,18 @@ def test_different_fingerprint_invalidates(spark, work_dir, first_run):
         spark, work_dir, GAZETTEER, RELATION_TEMPLATES, SURFACES, resume=True
     )
     res = pipe.run(pages, fingerprint="other-input")
-    assert len(res.stages_run) == 7
+    assert len(res.stages_run) == 8
+
+
+def test_export_stage_writes_reference_format(work_dir, first_run):
+    entry = first_run.metrics["export"]
+    assert os.path.exists(entry["file"])
+    with open(entry["file"], encoding="utf-8") as f:
+        first = json.loads(f.readline())
+    assert first["format_version"] == "1.0.0"
+    assert first["database_statistics"]["nodeCount"] + first[
+        "database_statistics"
+    ]["relCount"] == entry["rows"]
 
 
 def test_ledger_metrics_on_disk(work_dir, first_run):
