@@ -160,20 +160,38 @@ def as_double_array(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
-def dot_col(a: Column, b: Column) -> Column:
+def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential double dot product (bit-matches DuckDB list_dot_product
-    on DOUBLE[])."""
+    on DOUBLE[]).
+
+    With ``dim`` given, unrolls to a left-associated 64-term expression —
+    bit-identical to the sequential fold (0+x0 == x0 exactly, then left
+    association matches the loop) but WHOLE-STAGE CODEGEN'd, where the
+    higher-order ``aggregate`` falls back to interpreted eval (~10× slower
+    in pair joins)."""
+    ad, bd = as_double_array(a), as_double_array(b)
+    if dim is not None:
+        terms = [ad.getItem(i) * bd.getItem(i) for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
-        F.zip_with(as_double_array(a), as_double_array(b), lambda x, y: x * y),
+        F.zip_with(ad, bd, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def norm_sq_col(a: Column) -> Column:
-    return F.aggregate(
-        as_double_array(a), F.lit(0.0), lambda acc, x: acc + x * x
-    )
+def norm_sq_col(a: Column, dim: int | None = None) -> Column:
+    ad = as_double_array(a)
+    if dim is not None:
+        terms = [ad.getItem(i) * ad.getItem(i) for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    return F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
 def cosine_col(a: Column, b: Column) -> Column:

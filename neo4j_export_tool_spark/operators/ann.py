@@ -31,31 +31,35 @@ def brute_force_topk(
     id_col: str,
     k: int = 5,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, item_id, cosine) — exact top-k by cosine.
 
     ``queries`` is expected to be small (broadcast); items can be any size.
+    Norms precomputed per side; fixed-dim unrolled dot stays in codegen.
     """
     from neo4j_export_tool_spark.functions.similarity import norm_sq_col
+    from neo4j_export_tool_spark.operators.dedup import _infer_dim
 
+    dim = dim or _infer_dim(items, vec_col)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            norm_sq_col(F.col(vec_col)).alias("q_nsq"),
+            norm_sq_col(F.col(vec_col), dim).alias("q_nsq"),
         )
     )
     it = items.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).alias("i_vec"),
-        norm_sq_col(F.col(vec_col)).alias("i_nsq"),
+        norm_sq_col(F.col(vec_col), dim).alias("i_nsq"),
     )
     scored = q.crossJoin(it)
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("item_id"))
     scored = scored.withColumn(
         "cosine",
-        dot_col(F.col("q_vec"), F.col("i_vec"))
+        dot_col(F.col("q_vec"), F.col("i_vec"), dim)
         / F.sqrt(F.col("q_nsq") * F.col("i_nsq")),
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -38,11 +38,18 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 20,
     checkpoint_interval: int = 3,
+    use_local_checkpoint: bool = True,
 ) -> CCResult:
     """Min-label propagation over an undirected edge list.
 
     ``edges``: two columns of the same orderable type.  Vertices appearing
     only as isolated endpoints keep their own id as component.
+
+    ``use_local_checkpoint=True`` truncates lineage EVERY round with an
+    eager localCheckpoint — without it the logical plan doubles per round
+    and driver-side planning dominates wall time long before data does.
+    Set False on clusters that need executor-loss tolerance: then a reliable
+    ``checkpoint()`` runs every ``checkpoint_interval`` rounds instead.
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -100,13 +107,15 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
-        if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
-            new_labels = new_labels.checkpoint(eager=False)
-        new_labels = new_labels.persist()
+        if use_local_checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        elif checkpoint_interval and (i + 1) % checkpoint_interval == 0:
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = new_labels.filter(F.col("_changed")).count()
         labels.unpersist()
-        labels = new_labels.drop("_changed").persist()
-        new_labels.unpersist()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True
             break

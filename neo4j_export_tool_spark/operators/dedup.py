@@ -286,24 +286,32 @@ def simhash_pairs(
     )
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else None
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     min_cosine: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine near-dup pairs (exact baseline).
 
     O(n²) — for the scale path use `operators.ann.hyperplane_lsh_pairs`.
     Norms are precomputed per vector BEFORE the pair join (computing them
-    inside the pair expression would redo 2n² norm walks; this does n).
+    inside the pair expression would redo 2n² norm walks; this does n), and
+    the fixed-dim unrolled dot keeps the pair expression in codegen.
     """
     from neo4j_export_tool_spark.functions.similarity import dot_col, norm_sq_col
 
+    dim = dim or _infer_dim(df, vec_col)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm_sq_col(F.col(vec_col)).alias("nsq"),
+        norm_sq_col(F.col(vec_col), dim).alias("nsq"),
     )
     a = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nsq").alias("nsq_a")
@@ -315,7 +323,7 @@ def embedding_neardup_pairs(
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            dot_col(F.col("v_a"), F.col("v_b"))
+            dot_col(F.col("v_a"), F.col("v_b"), dim)
             / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
         )
         .filter(F.col("cosine") >= min_cosine)

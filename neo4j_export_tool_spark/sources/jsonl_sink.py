@@ -345,11 +345,18 @@ def export_jsonl(
             metadata["export_manifest"]["total_export_duration_seconds"] = round(
                 time.perf_counter() - t0, 6
             )
+            # prefetchPartitions overlaps the per-partition fetch jobs with
+            # the write loop (sequential fetches dominate wall time otherwise)
+            # while keeping driver memory constant
             with open(tmp_path, "w", encoding="utf-8") as f:
                 f.write(dumps(metadata) + "\n")
-                for row in node_lines.select("line").toLocalIterator():
+                for row in node_lines.select("line").toLocalIterator(
+                    prefetchPartitions=True
+                ):
                     f.write(row["line"] + "\n")
-                for row in rel_lines.select("line").toLocalIterator():
+                for row in rel_lines.select("line").toLocalIterator(
+                    prefetchPartitions=True
+                ):
                     f.write(row["line"] + "\n")
                 for rec in err_records + warn_records:
                     f.write(dumps(rec) + "\n")
