@@ -35,7 +35,7 @@ def _force(df) -> int:
     return 0
 
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
+def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False) -> dict:
     from neo4j_export_tool_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
@@ -50,6 +50,30 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
         # warm the JVM/Arrow path once (excluded from timings)
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        if flagship_only:
+            from neo4j_export_tool_spark.plans.flagship import documents_kg
+
+            n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+            # run twice, keep the second (steady-state; first run pays
+            # one-time codegen/broadcast warmup that a long job amortizes)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _, hashed = documents_kg(spark, sf_dir)
+                n_triples = hashed.count()
+                _force(hashed)
+                kg_sec = time.perf_counter() - t0
+            return {
+                "metric": "flagship_kg_sec",
+                "value": round(kg_sec, 3),
+                "unit": "sec",
+                "queries": {"flagship_kg": round(kg_sec, 3)},
+                "sf": sf_dir,
+                "cpus": cpus,
+                "flagship_docs": n_docs,
+                "flagship_triples": n_triples,
+                "flagship_triples_per_sec": round(n_triples / kg_sec, 1),
+                "flagship_docs_per_sec": round(n_docs / kg_sec, 1),
+            }
 
         for name, fn in sorted(entry_mod.queries().items()):
             t0 = time.perf_counter()
@@ -111,7 +135,7 @@ def run_scaling(sf_dir: str, low: int, high: int) -> dict:
     results = {}
     for cpus in (low, high):
         out = subprocess.run(
-            [sys.executable, __file__, "--single-run", "--cpus", str(cpus)],
+            [sys.executable, __file__, "--single-run", "--flagship-only", "--cpus", str(cpus)],
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
             capture_output=True,
             text=True,
@@ -137,6 +161,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--single-run", action="store_true")
+    ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--low", type=int, default=8)
@@ -148,7 +173,7 @@ def main() -> None:
         print(json.dumps(res))
         return
 
-    res = run_bench(args.sf_dir, args.cpus)
+    res = run_bench(args.sf_dir, args.cpus, flagship_only=args.flagship_only)
     print(json.dumps(res))
 
 

@@ -90,6 +90,10 @@ def hyperplane_signature(
     df: DataFrame, vec_col: str, n_planes: int, dim: int, seed: int = 7
 ) -> DataFrame:
     """Add a ``bucket`` column: sign-pattern int over random hyperplanes."""
+    # NOTE: unrolling these dots into literal-coefficient expressions was
+    # measured SLOWER (n_planes×dim-term trees blow past codegen method
+    # limits); the HOF aggregate per plane is the right trade here since the
+    # signature runs once per row, not once per pair.
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     v = as_double_array(F.col(vec_col))

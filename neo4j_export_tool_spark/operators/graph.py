@@ -62,9 +62,17 @@ def nodes_from(
         else F.struct(F.lit(None).alias("_empty")).alias("properties"),
         canon.alias("canonical_props"),
     )
-    return out.withColumn(
-        "content_hash", node_hash_col(F.col("labels"), F.col("canonical_props"))
-    )
+    if isinstance(labels, list):
+        # constant labels: fold the sorted '+'-join at plan time (array_sort's
+        # lambda comparator is CodegenFallback and would run per row)
+        prefix = "node:" + "+".join(sorted(labels)) + ":"
+        hash_col = F.sha2(
+            F.concat(F.lit(prefix), F.coalesce(F.col("canonical_props"), F.lit(""))),
+            256,
+        )
+    else:
+        hash_col = node_hash_col(F.col("labels"), F.col("canonical_props"))
+    return out.withColumn("content_hash", hash_col)
 
 
 def edges_from(

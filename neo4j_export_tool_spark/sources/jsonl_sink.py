@@ -340,27 +340,33 @@ def export_jsonl(
         final_path = os.path.join(out_dir, filename)
 
         if single_file:
-            # stream to temp, atomic rename (reference Export/Core.fs:437-462)
+            # executors write each section in parallel (orderBy → range-
+            # partitioned, so part files in name order ARE globally sorted);
+            # the driver then bulk-concatenates file streams — constant
+            # memory, no per-row Py4J traffic — and atomically renames
+            # (reference Export/Core.fs:437-462)
+            import glob
+            import shutil
+
             tmp_path = final_path + ".tmp"
+            sections_dir = os.path.join(out_dir, f"_sections_{export_id[:8]}")
+            nodes_txt = os.path.join(sections_dir, "nodes")
+            rels_txt = os.path.join(sections_dir, "rels")
+            node_lines.select("line").write.mode("overwrite").text(nodes_txt)
+            rel_lines.select("line").write.mode("overwrite").text(rels_txt)
             metadata["export_manifest"]["total_export_duration_seconds"] = round(
                 time.perf_counter() - t0, 6
             )
-            # prefetchPartitions overlaps the per-partition fetch jobs with
-            # the write loop (sequential fetches dominate wall time otherwise)
-            # while keeping driver memory constant
             with open(tmp_path, "w", encoding="utf-8") as f:
                 f.write(dumps(metadata) + "\n")
-                for row in node_lines.select("line").toLocalIterator(
-                    prefetchPartitions=True
-                ):
-                    f.write(row["line"] + "\n")
-                for row in rel_lines.select("line").toLocalIterator(
-                    prefetchPartitions=True
-                ):
-                    f.write(row["line"] + "\n")
+                for section in (nodes_txt, rels_txt):
+                    for part in sorted(glob.glob(os.path.join(section, "part-*"))):
+                        with open(part, encoding="utf-8") as pf:
+                            shutil.copyfileobj(pf, f, 1 << 20)
                 for rec in err_records + warn_records:
                     f.write(dumps(rec) + "\n")
             os.replace(tmp_path, final_path)
+            shutil.rmtree(sections_dir, ignore_errors=True)
             files = [final_path]
         else:
             # scale path: executor-written line files per section

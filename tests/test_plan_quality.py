@@ -1,0 +1,69 @@
+"""Physical-plan quality gates.
+
+These pin the scale-critical plan properties so a refactor can't silently
+regress them: filter/column pushdown into the parquet scan, broadcast hash
+join for the J1 node-hash lookup, no shuffle in the extraction stage, and
+whole-stage codegen around the hash expressions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_keyset_scan_pushdown(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("doc_id") > 100).select("doc_id", "lang")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan
+    # column pruning: text (the fat column) must not be read
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_j1_join_is_broadcast(spark, sf_dir):
+    from neo4j_export_tool_spark.plans.flagship import documents_kg
+
+    _, hashed = documents_kg(spark, sf_dir)
+    plan = plan_of(hashed)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_extract_stage_no_shuffle(spark):
+    from neo4j_export_tool_spark.operators.extract import extract_text_udf
+    from neo4j_export_tool_spark.sources.synth import pages_spark_df
+
+    pages = pages_spark_df(spark, 20, seed=1)
+    q = pages.select("url", extract_text_udf(F.col("html")).alias("text"))
+    plan = plan_of(q)
+    assert "Exchange" not in plan  # embarrassingly parallel, no shuffle
+
+
+def test_hash_columns_in_codegen(spark, sf_dir):
+    from neo4j_export_tool_spark.plans.flagship import document_nodes, load_documents
+
+    nodes = document_nodes(load_documents(spark, sf_dir))
+    plan = plan_of(nodes)
+    assert "codegen id" in plan  # whole-stage codegen spans present
+    # sha2 must be a plain projection over the scan — no Python UDF involved
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # constant labels fold at plan time — no per-row lambda comparator
+    assert "lambdafunction" not in plan
+
+
+def test_unrolled_dot_in_codegen(spark, sf_dir):
+    from neo4j_export_tool_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_neardup_pairs(emb, "embedding", "vec_id", 0.5)
+    plan = plan_of(pairs)
+    # the fixed-dim expression compiles; no interpreted 'aggregate(' HOF in
+    # the pair-join projection
+    assert "aggregate(" not in plan.lower().split("broadcastnestedloopjoin")[-1][:2000]
