@@ -247,6 +247,54 @@ def generate_pages(
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def _generate_one(doc_id: int, seed: int) -> tuple:
+    """Deterministic per-doc generation (independent of any other doc) —
+    the distributed variant used by `pages_spark_distributed`."""
+    rng = random.Random((seed << 32) ^ doc_id)
+    base_ts = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    url = f"https://example.org/page/{doc_id:08d}"
+    lang = rng.choice(LANGS)
+    n_rel = rng.randint(1, 4)
+    n_fill = rng.randint(2, 6)
+    paragraphs = []
+    for _ in range(n_rel):
+        pred, s_label, o_label, tmpl = rng.choice(RELATION_TEMPLATES)
+        s_surf, s_canon = _pick_surface(rng, s_label)
+        o_surf, o_canon = _pick_surface(rng, o_label)
+        while o_canon == s_canon:
+            o_surf, o_canon = _pick_surface(rng, o_label)
+        paragraphs.append(tmpl.format(s=s_surf, o=o_surf))
+    for _ in range(n_fill):
+        paragraphs.append(_filler_sentence(rng))
+    rng.shuffle(paragraphs)
+    title = f"Report {doc_id:08d}"
+    text = "\n".join(paragraphs)
+    html = _render_html(title, paragraphs, rng)
+    ts = base_ts + dt.timedelta(seconds=doc_id * 37, microseconds=doc_id % 1000)
+    return (url, ts, html, text, lang)
+
+
+def pages_spark_distributed(spark, n_docs: int, seed: int = 42, partitions: int = 64):
+    """Synthesize a large corpus IN PARALLEL on executors (one deterministic
+    doc per id; no driver-side generation).  Used for scale benchmarks —
+    unit tests keep `generate_pages`, whose sequential RNG also plants
+    near-duplicates."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_generate_one(int(i), seed) for i in pdf["id"]]
+            yield _pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return (
+        spark.range(n_docs)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=PAGES_DDL)
+    )
+
+
 def pages_spark_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Synthesize the corpus as a Spark DataFrame (Arrow-backed createDataFrame)."""
     pages, _ = generate_pages(n_docs, seed)

@@ -85,6 +85,22 @@ def surfaces_by_label():
     }
 
 
+def test_distributed_generator_deterministic_and_extractable(spark):
+    from neo4j_export_tool_spark.sources.synth import pages_spark_distributed
+
+    df1 = pages_spark_distributed(spark, 200, seed=9, partitions=4)
+    df2 = pages_spark_distributed(spark, 200, seed=9, partitions=8)
+    rows1 = {r["url"]: r["text"] for r in df1.collect()}
+    rows2 = {r["url"]: r["text"] for r in df2.collect()}
+    assert rows1 == rows2  # partitioning must not affect content
+    mismatches = (
+        df1.withColumn("extracted", extract_text_udf(F.col("html")))
+        .filter(F.col("extracted") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
+
+
 def test_triple_extraction_precision_recall(spark, surfaces_by_label):
     n = 400
     df = pages_spark_df(spark, n, seed=42, partitions=4)
