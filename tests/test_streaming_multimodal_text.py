@@ -67,6 +67,36 @@ def test_incremental_export_stream(spark, events_dir, tmp_path):
     assert spark.read.text(out).count() == n_events
 
 
+def test_stateful_user_totals_matches_batch(spark, events_dir):
+    from neo4j_export_tool_spark.streaming.stateful import (
+        user_totals_batch,
+        user_totals_stream,
+    )
+
+    stream = stream_events(spark, events_dir)
+    streamed = run_stream_to_memory(
+        spark, user_totals_stream(stream), "user_totals", output_mode="update"
+    )
+    # update mode emits one row per user per micro-batch; the LAST row per
+    # user is the final state
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+
+    final = (
+        streamed.withColumn("_rn", SF.monotonically_increasing_id())
+        .withColumn(
+            "rk",
+            SF.row_number().over(W.partitionBy("user_id").orderBy(SF.col("_rn").desc())),
+        )
+        .filter(SF.col("rk") == 1)
+        .select("user_id", "n_events", "sum_value_c")
+    )
+    batch = user_totals_batch(spark.read.parquet(events_dir))
+    s = {tuple(r) for r in final.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
 # --- multimodal -----------------------------------------------------------
 
 def test_codec_stub_raises():
