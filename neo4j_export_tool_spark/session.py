@@ -76,6 +76,15 @@ def get_spark(
         # should broadcast whenever it fits; AQE upgrades to broadcast at runtime
         # too, but an explicit floor avoids sort-merge on small dims.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # managed tables (bucketed graph tables) go to a session temp
+        # warehouse, never the caller's cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                tempfile.mkdtemp(prefix="spark-graft-warehouse-"),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
