@@ -147,6 +147,11 @@ def validate_label(label: str | None) -> str:
 
 def encode_value(value: Any, depth: int = 0) -> Any:
     """Encode one property value into its JSON-ready shape per the contract."""
+    # Arrow→pandas struct decoding hands back numpy scalars/arrays; normalize
+    # to Python natives so the type dispatch below stays exact
+    mod = type(value).__module__
+    if mod == "numpy":
+        value = value.tolist() if hasattr(value, "tolist") else value.item()
     if depth > MAX_NESTED_DEPTH:
         return {
             "_truncated": "depth_limit_exceeded",

@@ -57,32 +57,50 @@ from neo4j_export_tool_spark.functions.encoding import dumps, encode_properties
 # record serialization (Arrow-vectorized)
 # ---------------------------------------------------------------------------
 
+def _props_from_row(row: Any) -> dict[str, Any]:
+    """Decode one properties cell: either a pre-serialized JSON string
+    (heterogeneous union path) or an Arrow-decoded struct dict (TYPED path —
+    keeps real datetimes/bytes/NaN so the §1.3 encoding contract applies to
+    the actual values, not their to_json stringification)."""
+    if row is None:
+        return {}
+    if isinstance(row, str):
+        return json.loads(row) if row else {}
+    if isinstance(row, dict):
+        return {k: v for k, v in row.items() if k != "_empty"}
+    # pyspark Row / namedtuple-ish
+    return {k: v for k, v in row.asDict(recursive=True).items() if k != "_empty"}
+
+
 def _serialize_nodes(nodes: DataFrame, export_id: str, hashed_ids: bool) -> DataFrame:
-    """nodes(element_id, labels, properties_json, content_hash) → (line, labels)."""
+    """nodes(element_id, labels, properties_json | properties, content_hash)
+    → (line, labels)."""
+    props_col = "properties_json" if "properties_json" in nodes.columns else "properties"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lines = []
-            for eid, labels, props_json, chash in zip(
-                pdf["element_id"], pdf["labels"], pdf["properties_json"], pdf["content_hash"]
+            for eid, labels, props, chash in zip(
+                pdf["element_id"], pdf["labels"], pdf[props_col], pdf["content_hash"]
             ):
                 rec: dict[str, Any] = {"type": "node", "element_id": eid}
                 if hashed_ids:
                     rec["NET_node_content_hash"] = chash
                 rec["export_id"] = export_id
                 rec["labels"] = list(labels)
-                rec["properties"] = encode_properties(
-                    json.loads(props_json) if props_json else {}
-                )
+                rec["properties"] = encode_properties(_props_from_row(props))
                 lines.append(dumps(rec))
             yield pd.DataFrame({"line": lines, "labels": pdf["labels"]})
 
-    return nodes.mapInPandas(run, schema="line string, labels array<string>")
+    return nodes.select(
+        "element_id", "labels", props_col, "content_hash"
+    ).mapInPandas(run, schema="line string, labels array<string>")
 
 
 def _serialize_rels(edges: DataFrame, export_id: str, hashed_ids: bool) -> DataFrame:
     """edges(element_id, label, start/end ids, start/end hashes,
-    properties_json) → (line, label)."""
+    properties_json | properties) → (line, label)."""
+    props_col = "properties_json" if "properties_json" in edges.columns else "properties"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,7 +120,7 @@ def _serialize_rels(edges: DataFrame, export_id: str, hashed_ids: bool) -> DataF
                     rec["start_node_content_hash"] = row.start_node_content_hash
                     rec["end_node_content_hash"] = row.end_node_content_hash
                 rec["properties"] = encode_properties(
-                    json.loads(row.properties_json) if row.properties_json else {}
+                    _props_from_row(getattr(row, props_col))
                 )
                 lines.append(dumps(rec))
             yield pd.DataFrame({"line": lines, "label": pdf["label"]})
