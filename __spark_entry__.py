@@ -435,6 +435,24 @@ def _q28_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q29_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-form canonicalization (MinHash-LSH similarity join + iterative
+    connected components, SURVEY §2.3 J3/J4).  The concept vocabulary has no
+    alias pairs above the threshold (max pairwise trigram Jaccard < 0.30),
+    so the correct output is all-singleton clusters — a closed-form oracle
+    that still exercises the full LSH + CC machinery."""
+    from neo4j_export_tool_spark.operators.canonicalize import canonicalize_surfaces
+    from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
+
+    mentions = doc_mentions(load_documents(spark, sf_dir))
+    out = canonicalize_surfaces(
+        mentions.select(F.col("concept").alias("surface")), threshold_pct=45
+    )
+    return out.select("surface", "canonical_surface", "cluster_size").orderBy(
+        "surface"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -465,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_event_time_windows": _q26_event_time_windows,
         "q27_ann_lsh_pairs": _q27_ann_lsh_pairs,
         "q28_entity_linking": _q28_entity_linking,
+        "q29_canonicalize_surfaces": _q29_canonicalize_surfaces,
     }
 
 
@@ -770,6 +789,13 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q29_canonicalize_surfaces": f"""
+            SELECT DISTINCT tok AS surface, tok AS canonical_surface,
+                   1::BIGINT AS cluster_size
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            WHERE tok IN ({_CONCEPT_LIST})
+            ORDER BY surface
         """,
         # q27_ann_lsh_pairs / q28_entity_linking: approximate / pandas-UDF
         # scored — intentionally rows-only (driver records the weaker check).
