@@ -453,6 +453,20 @@ def _q29_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q30_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (beyond the reference's operator set:
+    it has no grouping sets — SURVEY §2.4 note)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -484,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_ann_lsh_pairs": _q27_ann_lsh_pairs,
         "q28_entity_linking": _q28_entity_linking,
         "q29_canonicalize_surfaces": _q29_canonicalize_surfaces,
+        "q30_rollup_stats": _q30_rollup_stats,
     }
 
 
@@ -796,6 +811,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
             WHERE tok IN ({_CONCEPT_LIST})
             ORDER BY surface
+        """,
+        "q30_rollup_stats": """
+            SELECT lang, source, count(*) AS record_count,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+            ORDER BY lang, source
         """,
         # q27_ann_lsh_pairs / q28_entity_linking: approximate / pandas-UDF
         # scored — intentionally rows-only (driver records the weaker check).

@@ -112,6 +112,37 @@ def edges_from(
     return out.withColumn("element_id", F.col("identity_hash"))
 
 
+def hash_fallback_warnings(hashed_edges: DataFrame) -> list[dict]:
+    """Summarized warning records for unresolved node-hash lookups (the Spark
+    analog of the reference's warn-and-fallback on NodeIdMapping misses,
+    ``BatchProcessing.fs:316-341``, and its warning dedup A6: one summarized
+    record per relationship type instead of one log line per miss)."""
+    import time as _time
+
+    rows = (
+        hashed_edges.filter(F.col("_hash_fallback"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("element_id").alias("first_element_id"),
+        )
+        .collect()
+    )
+    ts = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+    return [
+        {
+            "timestamp": ts,
+            "message": (
+                f"node content hash unresolved for {r['n']} relationship(s) of "
+                f"type {r['label']}; element_id used as fallback"
+            ),
+            "element_id": r["first_element_id"],
+            "details": {"relationship_type": r["label"], "occurrences": r["n"]},
+        }
+        for r in rows
+    ]
+
+
 def nodes_union(*node_dfs: DataFrame) -> DataFrame:
     """Union node classes with heterogeneous property schemas.
 
