@@ -97,6 +97,32 @@ def test_stateful_user_totals_matches_batch(spark, events_dir):
     assert s == b and len(s) > 0
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicate payloads within the watermark horizon are dropped."""
+    import datetime as dt
+
+    from neo4j_export_tool_spark.streaming.dedup import dedup_stream_exact
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "dup-A", 1.0, "{}"),
+        (2, base, 2, "dup-A", 1.0, "{}"),      # duplicate content
+        (3, base, 3, "uniq-B", 1.0, "{}"),
+        (4, base, 4, "dup-A", 1.0, "{}"),      # another duplicate
+        (5, base, 5, "uniq-C", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = stream_events(spark, src)
+    deduped = dedup_stream_exact(stream, content_col="event_type")
+    out = run_stream_to_memory(spark, deduped, "dedup_out", output_mode="append")
+    kinds = sorted(r["event_type"] for r in out.collect())
+    assert kinds == ["dup-A", "uniq-B", "uniq-C"]
+
+
 # --- multimodal -----------------------------------------------------------
 
 def test_codec_stub_raises():
