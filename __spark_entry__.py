@@ -179,13 +179,14 @@ def _q10_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (training-pipeline op): canonical doc per
-    sha256(text) group."""
+    sha256(text) group — the `operators.dedup.exact_dedup` operator."""
+    from neo4j_export_tool_spark.operators.dedup import exact_dedup
+
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha256"))
-        .agg(
-            F.min("doc_id").alias("canonical_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
+        exact_dedup(docs, "text", "doc_id")
+        .withColumnsRenamed(
+            {"content_sha256": "text_sha256", "canonical_id": "canonical_doc_id"}
         )
         .orderBy("text_sha256")
     )
@@ -816,7 +817,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*) AS record_count,
                    sum(n_chars) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
-            ORDER BY lang, source
+            ORDER BY lang NULLS FIRST, source NULLS FIRST
         """,
         # q27_ann_lsh_pairs / q28_entity_linking: approximate / pandas-UDF
         # scored — intentionally rows-only (driver records the weaker check).

@@ -169,6 +169,15 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     ]
+    if not first:
+        base.unpersist()
+        return items.sparkSession.createDataFrame(
+            [], "query_id long, rank int, item_id long, cosine double"
+        )
+    # fewer items than requested cells → shrink the quantizer
+    n_cells = min(n_cells, len(first))
+    n_probe = min(n_probe, n_cells)
+    first = first[:n_cells]
     centroids = first
     for _ in range(n_iters):
         cent_df = F.broadcast(

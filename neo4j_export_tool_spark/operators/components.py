@@ -63,6 +63,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     ).persist()
+    cached = labels  # handle to the DataFrame actually persisted
 
     iterations = 0
     converged = False
@@ -114,7 +115,10 @@ def connected_components(
         else:
             new_labels = new_labels.persist()
         changed = new_labels.filter(F.col("_changed")).count()
-        labels.unpersist()
+        # unpersist the handle that was actually cached (a derived plan like
+        # .drop() is a different DataFrame and its unpersist is a no-op)
+        cached.unpersist()
+        cached = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True

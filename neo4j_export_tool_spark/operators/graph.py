@@ -25,15 +25,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from neo4j_export_tool_spark.functions.canonical import node_hash_col, rel_hash_col
+from neo4j_export_tool_spark.functions.canonical import (
+    canonicalize_json_udf,
+    node_hash_col,
+    rel_hash_col,
+)
 
 
-def canonical_props_col(props: dict[str, Column]) -> Column:
-    """Canonical-JSON string column for a flat property bag (JVM-side)."""
+def _bag_needs_python_canon(df: DataFrame, props: dict[str, Column]) -> bool:
+    """True when the bag contains fractional or nested types, whose to_json
+    formatting differs from the contract (e.g. Spark renders 1e-7 as
+    '1.0E-7'; the canonical kernel gives '1e-07')."""
+    from pyspark.sql import types as T
+
+    schema = df.select(*[c.alias(k) for k, c in props.items()]).schema
+    fractional = (T.FloatType, T.DoubleType, T.DecimalType)
+    nested = (T.ArrayType, T.MapType, T.StructType)
+    return any(
+        isinstance(f.dataType, fractional + nested) for f in schema.fields
+    )
+
+
+def canonical_props_col(
+    props: dict[str, Column], df: DataFrame | None = None
+) -> Column:
+    """Canonical-JSON string column for a flat property bag.
+
+    Int/string/bool bags canonicalize fully JVM-side (to_json over the
+    name-sorted struct).  Bags containing fractional or nested values are
+    re-canonicalized through the Arrow pandas UDF so float formatting
+    byte-matches the pure-Python ID kernel (``functions.canonical``) — the
+    cross-implementation guarantee the hash algebra depends on.
+    """
     if not props:
         return F.lit("")
     struct = F.struct(*[props[k].alias(k) for k in sorted(props)])
     js = F.to_json(struct)
+    if df is not None and _bag_needs_python_canon(df, props):
+        return F.coalesce(canonicalize_json_udf(js), F.lit(""))
     # all-null bag → '{}' from to_json; the contract wants ''
     return F.when(js == "{}", F.lit("")).otherwise(js)
 
@@ -53,7 +82,7 @@ def nodes_from(
     labels_col = (
         F.array(*[F.lit(x) for x in labels]) if isinstance(labels, list) else labels
     )
-    canon = canonical_props_col(props)
+    canon = canonical_props_col(props, df)
     out = df.select(
         element_id.alias("element_id"),
         labels_col.alias("labels"),
@@ -90,7 +119,7 @@ def edges_from(
     per SURVEY.md §1.4 'deterministic per-entity ID').
     """
     type_col = F.lit(rel_type) if isinstance(rel_type, str) else rel_type
-    canon = canonical_props_col(props)
+    canon = canonical_props_col(props, df)
     out = df.select(
         type_col.alias("label"),
         start_element_id.alias("start_element_id"),

@@ -190,11 +190,12 @@ def generate_pages(
         url = f"https://example.org/page/{i:06d}"
         lang = rng.choice(LANGS)
         if prior_paragraphs and rng.random() < near_dup_rate:
-            # near-duplicate of an earlier doc: same sentences, one filler
-            # perturbed — MinHash/SimHash must find these pairs
-            src_paras, src_triples = rng.choice(prior_paragraphs)
+            # near-duplicate of an earlier doc: same sentences, one FILLER
+            # perturbed (never a relation sentence — the copied triples must
+            # keep their evidence, or the oracle silently caps recall)
+            src_paras, src_triples, filler_idxs = rng.choice(prior_paragraphs)
             paragraphs = list(src_paras)
-            paragraphs[-1] = _filler_sentence(rng)
+            paragraphs[rng.choice(filler_idxs)] = _filler_sentence(rng)
             doc_triples = [
                 dataclasses.replace(t, url=url) for t in src_triples
             ]
@@ -215,10 +216,14 @@ def generate_pages(
                         url, s_surf, pred, o_surf, s_canon, o_canon, s_label, o_label
                     )
                 )
+            relation_set = set(paragraphs)
             for _ in range(n_fill):
                 paragraphs.append(_filler_sentence(rng))
             rng.shuffle(paragraphs)
-            prior_paragraphs.append((paragraphs, doc_triples))
+            filler_idxs = [
+                i for i, p in enumerate(paragraphs) if p not in relation_set
+            ]
+            prior_paragraphs.append((paragraphs, doc_triples, filler_idxs))
 
         title = f"Report {i:06d}"
         text = "\n".join(paragraphs)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -34,7 +35,11 @@ def _make_update_fn(evict: bool):
         n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += int(round(pdf["value"].astype(float).mul(100).round().sum()))
+            # HALF_UP (away from zero), matching Spark's F.round in the
+            # batch twin — pandas' .round() is half-to-even and diverges on
+            # exact half-cents
+            cents = pdf["value"].astype(float).mul(100)
+            total += int(np.sum(np.sign(cents) * np.floor(np.abs(cents) + 0.5)))
         state.update((n, total))
         if evict:
             state.setTimeoutDuration(60 * 60 * 1000)  # evict idle users after 1h
