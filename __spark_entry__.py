@@ -24,7 +24,17 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver passes its OWN SparkSession; ship the package to its
+    executors once so pandas-UDF closures resolve regardless of the worker
+    PYTHONPATH."""
+    from neo4j_export_tool_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
 
 
 # ---------------------------------------------------------------------------
@@ -35,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hashed MENTIONS edges of the documents knowledge graph."""
     from neo4j_export_tool_spark.plans.flagship import flagship_edges
 
+    _ensure_shipped(spark)
     return flagship_edges(spark, SF_SMOKE)
 
 

@@ -19,6 +19,22 @@ from pyspark.sql import SparkSession
 _PKG_ROOT = Path(__file__).resolve().parents[1]
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Idempotently ship this package to the executors of an EXTERNALLY
+    created session (e.g. the driver harness passes its own SparkSession to
+    ``__spark_entry__.entry``).  Without this, pandas-UDF closures that
+    reference the package fail to unpickle on workers whose PYTHONPATH does
+    not include the repo."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    _ship_package(spark)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on executors.
 
