@@ -22,9 +22,11 @@ t*(na+nb-shared)``) so results are bit-stable across engines.
 Scale notes: the shingle self-join shuffles on shingle hash — frequent
 shingles create skew, so ``jaccard_pairs`` drops shingles with document
 frequency above ``max_shingle_df`` (stop-shingle pruning, standard in the
-set-similarity-join literature: they generate O(df²) candidate pairs while
-carrying almost no signal).  LSH bands shuffle on (band, key), which is
-uniform by construction.
+distributed set-similarity-join literature — see PAPERS.md: "Set Similarity
+Joins on MapReduce: An Experimental Survey", VLDB 2018, and "Scalable and
+Robust Set Similarity Join", ICDE 2018 — high-df tokens generate O(df²)
+candidate pairs while carrying almost no signal).  LSH bands shuffle on
+(band, key), which is uniform by construction.
 """
 
 from __future__ import annotations

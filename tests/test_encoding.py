@@ -144,6 +144,41 @@ def test_unknown_type_marker():
     assert out["_type"] == "Weird"
 
 
+def test_encode_always_json_serializable():
+    """Property: whatever the input bag, the encoded output dumps to valid
+    JSON and parses back (hypothesis port of the reference's serializer
+    robustness properties)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalar = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(),
+        st.floats(),  # includes nan/inf
+        st.text(max_size=30),
+        st.binary(max_size=30),
+        st.datetimes(),
+    )
+    value = st.recursive(
+        scalar,
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(st.text(max_size=8), children, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(bag=st.dictionaries(st.text(min_size=1, max_size=10), value, max_size=5))
+    def run(bag):
+        out = encode_properties(bag)
+        parsed = json.loads(dumps(out))
+        assert isinstance(parsed, dict)
+
+    run()
+
+
 def test_json_roundtrip_compact():
     # the OUTPUT serializer keeps nulls (reference Primitives.fs:38 writes
     # null values); only the HASH canonicalization drops them

@@ -97,6 +97,24 @@ def test_stateful_user_totals_matches_batch(spark, events_dir):
     assert s == b and len(s) > 0
 
 
+def test_streaming_mention_detection_matches_batch(spark, tmp_path):
+    """mapInPandas operators run unchanged on streams: mention detection
+    over a page stream equals the batch result."""
+    from neo4j_export_tool_spark.operators.mentions import detect_mentions
+    from neo4j_export_tool_spark.sources.synth import GAZETTEER, PAGES_DDL, pages_spark_df
+
+    src = str(tmp_path / "pages_stream")
+    pages_spark_df(spark, 60, seed=11, partitions=3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(PAGES_DDL).option("maxFilesPerTrigger", 1).parquet(src)
+    streamed = run_stream_to_memory(
+        spark, detect_mentions(stream, GAZETTEER), "stream_mentions", output_mode="append"
+    )
+    batch = detect_mentions(spark.read.parquet(src), GAZETTEER)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     """Duplicate payloads within the watermark horizon are dropped."""
     import datetime as dt
