@@ -8,7 +8,6 @@ whole-stage codegen around the hash expressions.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 

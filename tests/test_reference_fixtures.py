@@ -13,7 +13,6 @@ property suite does).
 
 from __future__ import annotations
 
-import datetime as dt
 import json
 import re
 
