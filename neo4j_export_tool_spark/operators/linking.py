@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 import re
-from collections.abc import Iterator
+from collections.abc import Iterator, Mapping
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -43,6 +43,34 @@ def trigram_cosine(a: str, b: str) -> float:
     return len(ta & tb) / math.sqrt(len(ta) * len(tb))
 
 
+def build_idf(names: list[str]) -> dict[str, float]:
+    """Smoothed IDF per trigram over the KB name corpus:
+    idf(t) = ln((1+N)/(1+df(t))) + 1 (sklearn-style smoothing)."""
+    n = len(names)
+    df: dict[str, int] = {}
+    for name in names:
+        for t in _trigrams(name):
+            df[t] = df.get(t, 0) + 1
+    return {t: math.log((1 + n) / (1 + d)) + 1.0 for t, d in df.items()}
+
+
+def tfidf_trigram_cosine(a: str, b: str, idf: Mapping[str, float]) -> float:
+    """IDF-weighted character-trigram cosine: shared boilerplate trigrams
+    ("Inc", "Ltd", " Co") carry little weight; distinctive name trigrams
+    dominate — the TF-IDF scoring the north star specifies for candidate
+    ranking (binary TF; surfaces are short)."""
+    ta, tb = _trigrams(a), _trigrams(b)
+    if not ta or not tb:
+        return 0.0
+    default = 1.0
+    num = sum(idf.get(t, default) ** 2 for t in ta & tb)
+    na = math.sqrt(sum(idf.get(t, default) ** 2 for t in ta))
+    nb = math.sqrt(sum(idf.get(t, default) ** 2 for t in tb))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return num / (na * nb)
+
+
 def link_mentions(
     mentions: DataFrame,
     kb: DataFrame,
@@ -50,11 +78,15 @@ def link_mentions(
     kb_id_col: str = "kb_id",
     kb_name_col: str = "name",
     min_score: float = 0.5,
+    use_idf: bool = True,
 ) -> DataFrame:
     """Attach (kb_id, link_score) to each mention row.
 
     ``kb``: (kb_id, name[, aliases...]).  Candidates share a blocking key
-    with the surface; ties broken by kb_id for determinism.
+    with the surface; ties broken by kb_id for determinism.  Scoring is
+    IDF-weighted trigram cosine by default (``use_idf=False`` falls back to
+    binary weights); the IDF table is built from the KB names on the driver
+    (KB-vocabulary-sized) and shipped in the scorer closure.
     """
     distinct_surfaces = mentions.select(F.col(surface_col).alias("surface")).distinct()
     kb_cand = kb.select(
@@ -65,13 +97,25 @@ def link_mentions(
     cands = distinct_surfaces.withColumn("block", _block_key(F.col("surface"))).join(
         F.broadcast(kb_cand), "block"
     )
+    idf = (
+        build_idf([r[kb_name_col] for r in kb.select(kb_name_col).collect()])
+        if use_idf
+        else None
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["link_score"] = [
-                trigram_cosine(s, n) for s, n in zip(pdf["surface"], pdf["kb_name"])
-            ]
+            if idf is not None:
+                pdf["link_score"] = [
+                    tfidf_trigram_cosine(s, n, idf)
+                    for s, n in zip(pdf["surface"], pdf["kb_name"])
+                ]
+            else:
+                pdf["link_score"] = [
+                    trigram_cosine(s, n)
+                    for s, n in zip(pdf["surface"], pdf["kb_name"])
+                ]
             yield pdf[["surface", "kb_id", "kb_name", "link_score"]]
 
     scored = cands.mapInPandas(

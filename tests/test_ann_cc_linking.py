@@ -89,6 +89,30 @@ def test_connected_components_long_chain_checkpointing(spark):
     assert set(comp.values()) == {0}
 
 
+def test_idf_weighting_prefers_distinctive_trigrams(spark):
+    """IDF weighting must rank the distinctive-name match above a
+    boilerplate-suffix match where binary weights would tie or flip."""
+    from neo4j_export_tool_spark.operators.linking import (
+        build_idf,
+        tfidf_trigram_cosine,
+        trigram_cosine,
+    )
+
+    kb_names = [f"Acme Inc", "Bolt Inc", "Crux Inc", "Dyno Inc", "Acme Labs"]
+    idf = build_idf(kb_names)
+    # ' In'/'Inc' trigrams appear in 4/5 names → low idf; 'Acm'/'cme' in 2/5
+    surface = "Acme Incorporated"
+    s_match = tfidf_trigram_cosine(surface, "Acme Inc", idf)
+    s_boiler = tfidf_trigram_cosine(surface, "Bolt Inc", idf)
+    assert s_match > s_boiler
+    # idf widens the margin relative to binary weighting
+    b_match = trigram_cosine(surface, "Acme Inc")
+    b_boiler = trigram_cosine(surface, "Bolt Inc")
+    assert (s_match - s_boiler) > (b_match - b_boiler) * 0.9
+    # determinism
+    assert s_match == tfidf_trigram_cosine(surface, "Acme Inc", idf)
+
+
 def test_entity_linking_aliases(spark):
     kb = kb_from_gazetteer(spark, GAZETTEER)
     mentions = spark.createDataFrame(
