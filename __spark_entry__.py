@@ -622,10 +622,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_c4,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_price_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS sum_disc_price_c4,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -638,7 +641,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q03_per_label_stats": """
             SELECT lang, source, count(*) AS record_count,
-                   sum(n_chars) AS bytes_written,
+                   CAST(sum(n_chars) AS BIGINT) AS bytes_written,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
@@ -784,9 +787,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    row_number() OVER w AS rn,
                    lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_value_c,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS running_c
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id
@@ -801,8 +804,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT event_id, user_id,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
             FROM g ORDER BY event_id
         """,
         "q25_connected_components": """
@@ -814,7 +817,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
                             '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*) AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_value_c
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q29_canonicalize_surfaces": f"""
@@ -826,7 +830,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q30_rollup_stats": """
             SELECT lang, source, count(*) AS record_count,
-                   sum(n_chars) AS total_chars
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
             ORDER BY lang NULLS FIRST, source NULLS FIRST
         """,

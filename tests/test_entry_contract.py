@@ -73,6 +73,21 @@ def test_query_matches_oracle(spark, duck, name):
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
 
+    # The driver's value-hash is type-aware: DuckDB widening an integer
+    # sum() to HUGEINT (int128) hash-mismatches Spark's int64 even when the
+    # rendered values agree (round-1 root cause of all six hash failures).
+    # Guard: no oracle may emit int128 / decimal columns.
+    arrow_schema = duck.execute(oracles[name]).fetch_arrow_table().schema
+    wide = [
+        (f.name, str(f.type))
+        for f in arrow_schema
+        if "int128" in str(f.type) or "decimal" in str(f.type)
+    ]
+    assert not wide, (
+        f"{name}: oracle emits driver-hash-incompatible wide types {wide}; "
+        "wrap integer sum(...) in CAST(... AS BIGINT)"
+    )
+
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
 
