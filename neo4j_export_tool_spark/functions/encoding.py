@@ -50,6 +50,10 @@ MAX_COLLECTION_ITEMS = 10_000
 MAX_NESTED_DEPTH = 10
 MAX_KEY_LENGTH = 1_000
 MAX_LABEL_LENGTH = 1_000
+MAX_LABELS_PER_NODE = 100  # Core/Constants.fs:191
+# nested graph elements switch serialization mode by depth (Context.fs:38-43)
+NESTED_SHALLOW_MODE_DEPTH = 5  # Core/Constants.fs:187
+NESTED_REFERENCE_MODE_DEPTH = 8  # Core/Constants.fs:188
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,7 +130,9 @@ def ensure_unique_keys(keys: Sequence[str]) -> list[str]:
     seen: set[str] = set()
     out: list[str] = []
     for key in keys:
-        k = truncate_with_ellipsis(key, MAX_KEY_LENGTH)
+        # reference ensureUniqueKey (Export/Utils.fs:53-58): keys over 1000
+        # chars truncate via truncateSpan 997 → 994 chars + "..." (997 total)
+        k = truncate_with_ellipsis(key, 997) if len(key) > MAX_KEY_LENGTH else key
         if k in seen:
             i = 1
             while f"{k}_{i}" in seen:
@@ -152,7 +158,10 @@ def encode_value(value: Any, depth: int = 0) -> Any:
     mod = type(value).__module__
     if mod == "numpy":
         value = value.tolist() if hasattr(value, "tolist") else value.item()
-    if depth > MAX_NESTED_DEPTH:
+    # reference SerializationDepth.exceedsLimit (Core/Types.fs:51) is
+    # `d >= limit`: a value nested exactly MAX_NESTED_DEPTH deep already
+    # serializes as the depth marker
+    if depth >= MAX_NESTED_DEPTH:
         return {
             "_truncated": "depth_limit_exceeded",
             "_depth": depth,

@@ -102,7 +102,11 @@ def test_duplicate_key_rename():
     assert ensure_unique_keys(["k", "k", "k"]) == ["k", "k_1", "k_2"]
     long_key = "a" * 2000
     out = ensure_unique_keys([long_key])
-    assert len(out[0]) == 1000 and out[0].endswith("...")
+    # reference truncateSpan 997 → 994 chars + "..." (Export/Utils.fs:53-58)
+    assert len(out[0]) == 997 and out[0].endswith("...")
+    assert out[0][:994] == "a" * 994
+    # keys at exactly the limit pass through untouched
+    assert ensure_unique_keys(["b" * 1000]) == ["b" * 1000]
 
 
 def test_depth_limit_marker():
@@ -112,6 +116,28 @@ def test_depth_limit_marker():
     flat = encode_value(v)
     s = dumps(flat)
     assert "depth_limit_exceeded" in s
+
+
+def test_depth_limit_boundary_exactly_ten():
+    """exceedsLimit is `d >= limit` (Core/Types.fs:51): a value at depth
+    exactly 10 serializes as the marker, not its contents."""
+    v: object = "leaf"
+    for _ in range(10):
+        v = [v]
+    flat = encode_value(v)  # outer list at depth 0 → leaf at depth 10
+    inner = flat
+    for _ in range(9):
+        assert isinstance(inner, list) and len(inner) == 1
+        inner = inner[0]
+    assert isinstance(inner, list)
+    marker = inner[0]
+    assert marker["_truncated"] == "depth_limit_exceeded"
+    assert marker["_depth"] == 10
+    # one level shallower serializes fully
+    v9: object = "leaf"
+    for _ in range(9):
+        v9 = [v9]
+    assert "depth_limit_exceeded" not in dumps(encode_value(v9))
 
 
 def test_property_bag_cap():
