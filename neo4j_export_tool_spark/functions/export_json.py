@@ -1,0 +1,136 @@
+"""Contract-canonical export JSON, produced JVM-side wherever possible.
+
+The JSONL record contract (reference ``Export/Serialization/Engine.fs:40-62``
+dispatch + ``Json/JsonConfig.fs:33-48`` compact/unescaped writer) is, for flat
+property bags of int/string/bool, byte-identical to Spark's ``to_json`` over
+the struct — both emit compact, insertion-ordered, non-ASCII-unescaped JSON
+with identical escape tables.  Measured divergences (this sandbox, Spark
+4.1.2 Jackson vs CPython ``json``):
+
+- control characters whose ``\\uXXXX`` escape contains a hex LETTER render
+  uppercase in Jackson (``\\u001F``) vs lowercase in Python (``\\u001f``) —
+  the only escape-table difference; shorthands (``\\n \\t \\r \\b \\f``),
+  quote, backslash, DEL, and raw non-ASCII all match;
+- fractional numbers format differently (Jackson ``1.0E-7`` vs contract
+  ``1e-07``);
+- contract truncation markers (string > 10M chars, list > 10k items, …)
+  have no ``to_json`` analog.
+
+So the JVM fast path applies when the bag *schema* rules out fractional /
+nested / temporal / binary values and the *row* contains no hazard strings
+(rare control chars, over-limit lengths).  Hazard rows and non-simple bags
+re-canonicalize through an Arrow-vectorized pandas UDF running the §1.3
+encoding contract — the same normalization the sink previously applied to
+every row in Python.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from neo4j_export_tool_spark.functions.encoding import (
+    MAX_COLLECTION_ITEMS,
+    MAX_KEY_LENGTH,
+    MAX_STRING_LENGTH,
+    dumps,
+    encode_properties,
+)
+
+# Control characters whose JSON escape differs between Jackson (uppercase
+# hex) and the contract's Python writer (lowercase hex).  Conservative
+# superset: everything below 0x20 except the shared shorthand escapes
+# \b \t \n \f \r (0x08, 0x09, 0x0a, 0x0c, 0x0d).
+CTRL_HAZARD_RE = "[\\x00-\\x07\\x0b\\x0e-\\x1f]"
+
+_FAST_FIELD_TYPES = (
+    T.StringType,
+    T.IntegerType,
+    T.LongType,
+    T.ShortType,
+    T.ByteType,
+    T.BooleanType,
+    T.NullType,
+)
+
+
+def bag_is_export_fast(dtype: T.DataType) -> bool:
+    """True when a property-bag struct schema guarantees ``to_json`` output
+    equals the §1.3 contract encoding, up to per-row string hazards."""
+    if not isinstance(dtype, T.StructType):
+        return False
+    if len(dtype.fields) > MAX_COLLECTION_ITEMS:
+        return False
+    for f in dtype.fields:
+        if not isinstance(f.dataType, _FAST_FIELD_TYPES):
+            return False
+        if len(f.name) > MAX_KEY_LENGTH:
+            return False
+        if any(ord(c) < 0x20 for c in f.name):
+            return False
+    return True
+
+
+def string_hazard(cols: list[Column]) -> Column:
+    """Row predicate: any of the string columns needs the Python JSON writer
+    (divergent control-char escapes or contract truncation markers)."""
+    if not cols:
+        return F.lit(False)
+    checks = [
+        F.coalesce(
+            c.rlike(CTRL_HAZARD_RE) | (F.length(c) > MAX_STRING_LENGTH),
+            F.lit(False),
+        )
+        for c in cols
+    ]
+    return reduce(lambda a, b: a | b, checks)
+
+
+@pandas_udf(StringType())
+def export_json_canon_udf(json_props: pd.Series) -> pd.Series:
+    """Re-encode a JSON-object string column per the §1.3 export contract
+    (insertion-ordered keys — NOT the sorted order of the hash-canonical
+    kernel), Arrow-vectorized."""
+
+    def canon(s: str | None) -> str | None:
+        if s is None or s == "":
+            return "{}"
+        obj = json.loads(s)
+        if not isinstance(obj, dict):
+            obj = {"value": obj}
+        return dumps(encode_properties(obj))
+
+    return json_props.map(canon)
+
+
+def export_props_json_col(df: DataFrame, struct_col: str = "properties") -> Column:
+    """Final contract bytes for the record's ``properties`` object.
+
+    Simple bags render fully JVM-side (``to_json``; codegen) with hazard rows
+    routed through the contract UDF; non-simple bags always re-canonicalize
+    through the UDF (which normalizes Jackson float formatting to the
+    contract's ``repr`` formatting and applies truncation markers).
+    """
+    dtype = df.schema[struct_col].dataType
+    js = F.to_json(struct_col)
+    if not bag_is_export_fast(dtype):
+        return export_json_canon_udf(js)
+    assert isinstance(dtype, T.StructType)
+    str_cols = [
+        F.col(struct_col)[f.name]
+        for f in dtype.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    hazard = string_hazard(str_cols)
+    # all-null / _empty-only bags: to_json drops null fields → "{}" already
+    safe = F.coalesce(js, F.lit("{}"))
+    if not str_cols:
+        return safe
+    return F.when(hazard, export_json_canon_udf(js)).otherwise(safe)

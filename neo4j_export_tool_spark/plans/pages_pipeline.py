@@ -310,12 +310,8 @@ class PagesPipeline:
                 "char_start": F.col("char_start"),
             },
         )
-        return attach_node_hashes(edges, nodes, broadcast_nodes=True).select(
-            "element_id",
-            "label",
-            "start_element_id",
-            "end_element_id",
-            "start_node_content_hash",
-            "end_node_content_hash",
-            F.to_json("properties").alias("properties_json"),
+        from neo4j_export_tool_spark.sources.jsonl_sink import with_properties_json
+
+        return with_properties_json(
+            attach_node_hashes(edges, nodes, broadcast_nodes=True)
         )

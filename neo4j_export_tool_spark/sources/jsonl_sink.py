@@ -20,18 +20,24 @@ and write the metadata line once, up front — no seek, no padding needed,
 same bytes-on-disk contract.
 
 Two write modes:
-- ``single_file=True`` — exact reference layout in one file; data lines are
-  streamed driver-side via ``toLocalIterator`` (constant driver memory, the
-  same bound the reference's streaming write gives a single process).
+- ``single_file=True`` — exact reference layout in one file; executors write
+  each section in parallel (range-partitioned text, so part files in name
+  order ARE globally sorted) and the driver bulk-concatenates the file
+  streams — constant driver memory, no per-row Py4J traffic.
 - ``single_file=False`` — the 100 TB path: per-section line files written by
   executors (``df.write.text``) + a ``_metadata.json``; assembly into one
   file is a concat any object store can do server-side.
 
-Record serialization runs in Arrow-vectorized ``mapInPandas`` (the property
-bag goes through the §1.3 encoding contract), with per-label record/byte
-stats collected as a DataFrame aggregation (reference A2 per-label stats,
-``Export/Core.fs:277-313``; multi-label nodes split bytes evenly across
-labels, unlabeled nodes count under ``_unlabeled``).
+Record serialization is JVM-side whole-stage codegen for the common case:
+when the properties arrive as contract-final ``properties_json`` bytes (see
+``functions.export_json``), the full record line is assembled with
+``to_json(struct(...))`` + concat — no Python in the hot path.  Rows whose
+head strings contain hazard characters (divergent control-char escapes) and
+typed struct-properties inputs (real datetimes/bytes needing the §1.3
+contract) run through the Arrow-vectorized ``mapInPandas`` lane instead.
+Per-label record/byte stats are a DataFrame aggregation (reference A2
+per-label stats, ``Export/Core.fs:277-313``; multi-label nodes split bytes
+evenly across labels, unlabeled nodes count under ``_unlabeled``).
 """
 
 from __future__ import annotations
@@ -46,15 +52,21 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from neo4j_export_tool_spark import FORMAT_VERSION, PRODUCER_NAME, __version__
-from neo4j_export_tool_spark.functions.encoding import dumps, encode_properties
+from neo4j_export_tool_spark.functions.encoding import (
+    MAX_LABELS_PER_NODE,
+    dumps,
+    encode_properties,
+    validate_label,
+)
+from neo4j_export_tool_spark.functions.export_json import string_hazard
 
 
 # ---------------------------------------------------------------------------
-# record serialization (Arrow-vectorized)
+# record serialization (JVM fast path + Arrow-vectorized fallback)
 # ---------------------------------------------------------------------------
 
 def _props_from_row(row: Any) -> dict[str, Any]:
@@ -72,35 +84,188 @@ def _props_from_row(row: Any) -> dict[str, Any]:
     return {k: v for k, v in row.asDict(recursive=True).items() if k != "_empty"}
 
 
+def _validated_labels_py(labels: Any) -> list[str] | None:
+    """Python twin of `_validated_labels_col`: reference label validation
+    (``GraphElements.fs:146-153``) + MaxLabelsPerNode cap
+    (``Core/Constants.fs:191``)."""
+    if labels is None:
+        return None
+    return [validate_label(x) for x in list(labels)[:MAX_LABELS_PER_NODE]]
+
+
+def _validated_labels_col() -> Column:
+    """null / over-long labels → ``_invalid_label``; cap at 100 labels."""
+    checked = F.transform(
+        F.col("labels"),
+        lambda x: F.when(
+            x.isNull() | (F.length(x) > 1000), F.lit("_invalid_label")
+        ).otherwise(x),
+    )
+    return F.slice(checked, 1, MAX_LABELS_PER_NODE)
+
+
+def _splice_props(head: Column, props_json: Column) -> Column:
+    """``head`` is a to_json(...) object; splice the pre-rendered properties
+    object in as the final field.  Pure string ops — whole-stage codegen."""
+    props = F.when(
+        props_json.isNull() | (props_json == ""), F.lit("{}")
+    ).otherwise(props_json)
+    return F.concat(
+        head.substr(F.lit(1), F.length(head) - F.lit(1)),
+        F.lit(',"properties":'),
+        props,
+        F.lit("}"),
+    )
+
+
 def _serialize_nodes(nodes: DataFrame, export_id: str, hashed_ids: bool) -> DataFrame:
     """nodes(element_id, labels, properties_json | properties, content_hash)
-    → (line, labels)."""
-    props_col = "properties_json" if "properties_json" in nodes.columns else "properties"
+    → (line, labels).
+
+    ``properties_json`` inputs carry contract-final bytes (see
+    ``functions.export_json``), so the whole record line assembles JVM-side;
+    only rows whose head strings contain hazard characters fall back to the
+    Python writer.  Typed ``properties`` struct inputs keep the Arrow lane.
+    """
+    if "properties_json" in nodes.columns:
+        labels = _validated_labels_col()
+        head_fields = [
+            F.lit("node").alias("type"),
+            F.col("element_id").alias("element_id"),
+        ]
+        if hashed_ids:
+            head_fields.append(F.col("content_hash").alias("NET_node_content_hash"))
+        head_fields += [
+            F.lit(export_id).alias("export_id"),
+            labels.alias("labels"),
+        ]
+        head = F.to_json(F.struct(*head_fields), {"ignoreNullFields": "false"})
+        line = _splice_props(head, F.col("properties_json"))
+        hazard_cols = [F.col("element_id"), F.array_join(labels, "")]
+        if hashed_ids:
+            hazard_cols.append(F.col("content_hash"))
+        hazard = string_hazard(hazard_cols)
+        fast = nodes.filter(~hazard).select(
+            line.alias("line"), labels.alias("labels")
+        )
+
+        def run_heads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                lines, out_labels = [], []
+                for eid, lbls, props, chash in zip(
+                    pdf["element_id"], pdf["labels"],
+                    pdf["properties_json"], pdf["content_hash"],
+                ):
+                    vl = _validated_labels_py(lbls)
+                    rec: dict[str, Any] = {"type": "node", "element_id": eid}
+                    if hashed_ids:
+                        rec["NET_node_content_hash"] = chash
+                    rec["export_id"] = export_id
+                    rec["labels"] = vl
+                    head_js = dumps(rec)
+                    lines.append(
+                        head_js[:-1] + ',"properties":' + (props or "{}") + "}"
+                    )
+                    out_labels.append(vl)
+                yield pd.DataFrame({"line": lines, "labels": out_labels})
+
+        # hazard rows are pathological (control chars in IDs/labels) — a
+        # handful at most, so collapse the Python branch to a few partitions
+        # instead of paying an empty Arrow task per input partition
+        slow = nodes.filter(hazard).coalesce(8).mapInPandas(
+            run_heads, schema="line string, labels array<string>"
+        )
+        return fast.unionByName(slow)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lines = []
-            for eid, labels, props, chash in zip(
-                pdf["element_id"], pdf["labels"], pdf[props_col], pdf["content_hash"]
+            lines, out_labels = [], []
+            for eid, lbls, props, chash in zip(
+                pdf["element_id"], pdf["labels"], pdf["properties"], pdf["content_hash"]
             ):
+                vl = _validated_labels_py(lbls)
                 rec: dict[str, Any] = {"type": "node", "element_id": eid}
                 if hashed_ids:
                     rec["NET_node_content_hash"] = chash
                 rec["export_id"] = export_id
-                rec["labels"] = list(labels)
+                rec["labels"] = vl
                 rec["properties"] = encode_properties(_props_from_row(props))
                 lines.append(dumps(rec))
-            yield pd.DataFrame({"line": lines, "labels": pdf["labels"]})
+                out_labels.append(vl)
+            yield pd.DataFrame({"line": lines, "labels": out_labels})
 
     return nodes.select(
-        "element_id", "labels", props_col, "content_hash"
+        "element_id", "labels", "properties", "content_hash"
     ).mapInPandas(run, schema="line string, labels array<string>")
 
 
 def _serialize_rels(edges: DataFrame, export_id: str, hashed_ids: bool) -> DataFrame:
     """edges(element_id, label, start/end ids, start/end hashes,
     properties_json | properties) → (line, label)."""
-    props_col = "properties_json" if "properties_json" in edges.columns else "properties"
+    if "properties_json" in edges.columns:
+        head_fields = [
+            F.lit("relationship").alias("type"),
+            F.col("element_id").alias("element_id"),
+        ]
+        if hashed_ids:
+            head_fields.append(F.col("element_id").alias("NET_rel_identity_hash"))
+        head_fields += [
+            F.lit(export_id).alias("export_id"),
+            F.col("label").alias("label"),
+            F.col("start_element_id").alias("start_element_id"),
+            F.col("end_element_id").alias("end_element_id"),
+        ]
+        if hashed_ids:
+            head_fields += [
+                F.col("start_node_content_hash").alias("start_node_content_hash"),
+                F.col("end_node_content_hash").alias("end_node_content_hash"),
+            ]
+        head = F.to_json(F.struct(*head_fields), {"ignoreNullFields": "false"})
+        line = _splice_props(head, F.col("properties_json"))
+        hazard_cols = [
+            F.col("element_id"),
+            F.col("label"),
+            F.col("start_element_id"),
+            F.col("end_element_id"),
+        ]
+        if hashed_ids:
+            hazard_cols += [
+                F.col("start_node_content_hash"),
+                F.col("end_node_content_hash"),
+            ]
+        hazard = string_hazard(hazard_cols)
+        fast = edges.filter(~hazard).select(line.alias("line"), "label")
+
+        def run_heads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                lines = []
+                for row in pdf.itertuples(index=False):
+                    rec: dict[str, Any] = {
+                        "type": "relationship",
+                        "element_id": row.element_id,
+                    }
+                    if hashed_ids:
+                        rec["NET_rel_identity_hash"] = row.element_id
+                    rec["export_id"] = export_id
+                    rec["label"] = row.label
+                    rec["start_element_id"] = row.start_element_id
+                    rec["end_element_id"] = row.end_element_id
+                    if hashed_ids:
+                        rec["start_node_content_hash"] = row.start_node_content_hash
+                        rec["end_node_content_hash"] = row.end_node_content_hash
+                    head_js = dumps(rec)
+                    lines.append(
+                        head_js[:-1]
+                        + ',"properties":'
+                        + (row.properties_json or "{}")
+                        + "}"
+                    )
+                yield pd.DataFrame({"line": lines, "label": pdf["label"]})
+
+        slow = edges.filter(hazard).coalesce(8).mapInPandas(
+            run_heads, schema="line string, label string"
+        )
+        return fast.unionByName(slow)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,7 +285,7 @@ def _serialize_rels(edges: DataFrame, export_id: str, hashed_ids: bool) -> DataF
                     rec["start_node_content_hash"] = row.start_node_content_hash
                     rec["end_node_content_hash"] = row.end_node_content_hash
                 rec["properties"] = encode_properties(
-                    _props_from_row(getattr(row, props_col))
+                    _props_from_row(row.properties)
                 )
                 lines.append(dumps(rec))
             yield pd.DataFrame({"line": lines, "label": pdf["label"]})
@@ -128,9 +293,11 @@ def _serialize_rels(edges: DataFrame, export_id: str, hashed_ids: bool) -> DataF
     return edges.mapInPandas(run, schema="line string, label string")
 
 
-def _label_stats_nodes(serialized: DataFrame) -> list[dict[str, Any]]:
-    """Per-label record/byte stats; multi-label bytes split evenly (A2)."""
-    bytes_col = (F.length("line") + 1).cast("double")
+def _node_label_shares(serialized):
+    """(kind='node', label, bytes_share): one row per (record, label);
+    multi-label bytes split evenly (A2).  Bytes are UTF-8 on-disk bytes
+    (octet_length + newline), not chars."""
+    bytes_col = (F.octet_length("line") + 1).cast("double")
     normalized = serialized.select(
         F.when(
             F.col("labels").isNull() | (F.size("labels") == 0),
@@ -140,47 +307,157 @@ def _label_stats_nodes(serialized: DataFrame) -> list[dict[str, Any]]:
         .alias("labels"),
         bytes_col.alias("line_bytes"),
     )
-    exploded = normalized.select(
+    return normalized.select(
+        F.lit("node").alias("kind"),
         F.explode("labels").alias("label"),
         (F.col("line_bytes") / F.size("labels")).alias("bytes_share"),
     )
+
+
+def _rel_label_shares(serialized):
+    return serialized.select(
+        F.lit("relationship").alias("kind"),
+        F.col("label"),
+        (F.octet_length("line") + 1).cast("double").alias("bytes_share"),
+    )
+
+
+def _stats_from_shares(
+    shares: DataFrame,
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """(kind, label, bytes_share) rows → per-section stats lists."""
     rows = (
-        exploded.groupBy("label")
+        shares.groupBy("kind", "label")
         .agg(
             F.count(F.lit(1)).alias("record_count"),
             F.sum("bytes_share").alias("bytes_written"),
         )
-        .orderBy("label")
+        .orderBy("kind", "label")
         .collect()
     )
-    return [
-        {
+
+    def fmt(r):
+        return {
             "label": r["label"] if r["label"] is not None else "_unlabeled",
             "record_count": r["record_count"],
             "bytes_written": int(r["bytes_written"]),
         }
-        for r in rows
-    ]
+
+    node_stats = [fmt(r) for r in rows if r["kind"] == "node"]
+    rel_stats = [fmt(r) for r in rows if r["kind"] == "relationship"]
+    return node_stats, rel_stats
 
 
-def _label_stats_rels(serialized: DataFrame) -> list[dict[str, Any]]:
-    rows = (
-        serialized.groupBy("label")
+def _section_stats(
+    node_lines: DataFrame, rel_lines: DataFrame
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Per-label record/byte stats for both sections in ONE Spark job
+    (reference A2 per-label stats, ``Export/Core.fs:277-313``)."""
+    return _stats_from_shares(
+        _node_label_shares(node_lines).unionByName(_rel_label_shares(rel_lines))
+    )
+
+
+def _stats_from_written(
+    spark, paths: list[str]
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]], dict[str, int]]:
+    """Per-label stats + per-kind record counts + invalid-label tally,
+    computed by reading BACK the written line files in ONE Spark job — a
+    cheap JVM scan (get_json_object) instead of caching every serialized
+    line just to aggregate it.  Counts the bytes actually on disk, and is
+    immune to re-evaluation (no observed metrics on sorted writes)."""
+    raw = spark.read.text(paths)
+    base = raw.select(
+        F.get_json_object("value", "$.type").alias("kind"),
+        F.from_json(
+            F.get_json_object("value", "$.labels"), "array<string>"
+        ).alias("labels"),
+        F.get_json_object("value", "$.label").alias("label"),
+        (F.octet_length("value") + 1).cast("double").alias("line_bytes"),
+    )
+    norm = F.when(
+        F.col("labels").isNull() | (F.size("labels") == 0),
+        F.array(F.lit("_unlabeled")),
+    ).otherwise(F.col("labels"))
+    node_shares = (
+        base.filter(F.col("kind") == "node")
+        .withColumn("norm", norm)
+        .select(
+            F.lit("node").alias("kind"),
+            F.explode("norm").alias("label"),
+            (F.col("line_bytes") / F.size("norm")).alias("bytes_share"),
+        )
+    )
+    rel_shares = base.filter(F.col("kind") == "relationship").select(
+        F.lit("relationship").alias("kind"),
+        "label",
+        F.col("line_bytes").alias("bytes_share"),
+    )
+    shares_agg = (
+        node_shares.unionByName(rel_shares)
+        .groupBy("kind", "label")
         .agg(
             F.count(F.lit(1)).alias("record_count"),
-            F.sum(F.length("line") + 1).alias("bytes_written"),
+            F.sum("bytes_share").alias("bytes_written"),
         )
-        .orderBy("label")
-        .collect()
+        .select(
+            F.lit("stats").alias("row_kind"), "kind", "label",
+            "record_count", "bytes_written", F.lit(None).alias("invalid"),
+        )
     )
-    return [
-        {
-            "label": r["label"],
+    kind_agg = (
+        base.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.sum(
+                F.size(F.filter(norm, lambda x: x == "_invalid_label"))
+            ).alias("invalid"),
+        )
+        .select(
+            F.lit("counts").alias("row_kind"), "kind",
+            F.lit(None).cast("string").alias("label"),
+            "record_count", F.lit(None).cast("double").alias("bytes_written"),
+            "invalid",
+        )
+    )
+    rows = shares_agg.unionByName(kind_agg).collect()
+
+    def fmt(r):
+        return {
+            "label": r["label"] if r["label"] is not None else "_unlabeled",
             "record_count": r["record_count"],
             "bytes_written": int(r["bytes_written"]),
         }
-        for r in rows
-    ]
+
+    stats = sorted(
+        (r for r in rows if r["row_kind"] == "stats"),
+        key=lambda r: (r["kind"], r["label"] if r["label"] is not None else ""),
+    )
+    node_stats = [fmt(r) for r in stats if r["kind"] == "node"]
+    rel_stats = [fmt(r) for r in stats if r["kind"] == "relationship"]
+    meta = {"node_count": 0, "rel_count": 0, "invalid_labels": 0}
+    for r in rows:
+        if r["row_kind"] == "counts":
+            if r["kind"] == "node":
+                meta["node_count"] = r["record_count"]
+                meta["invalid_labels"] = r["invalid"] or 0
+            elif r["kind"] == "relationship":
+                meta["rel_count"] = r["record_count"]
+    return node_stats, rel_stats, meta
+
+
+def _label_stats_nodes(serialized: DataFrame) -> list[dict[str, Any]]:
+    """Node-only per-label stats (kept for direct callers/tests)."""
+    empty = serialized.sparkSession.createDataFrame([], "line string, label string")
+    return _section_stats(serialized, empty)[0]
+
+
+def _label_stats_rels(serialized: DataFrame) -> list[dict[str, Any]]:
+    """Rel-only per-label stats (kept for direct callers/tests)."""
+    empty = serialized.sparkSession.createDataFrame(
+        [], "line string, labels array<string>"
+    )
+    return _section_stats(empty, serialized)[1]
 
 
 # ---------------------------------------------------------------------------
@@ -313,21 +590,102 @@ def export_jsonl(
     started = time.gmtime()
     timestamp_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", started)
 
+    # The serializers split each table into a JVM fast lane and a Python
+    # hazard lane (two branches of a union), and a sorted write adds a
+    # range-sampling pass; persist the projected inputs so the upstream plan
+    # (e.g. pandas-UDF mention detection) materializes once, not once per
+    # evaluation.  Callers that already persisted their inputs keep their
+    # cache — re-persisting a projection would materialize a second copy.
+    def _is_cached(df: DataFrame) -> bool:
+        try:
+            lvl = df.storageLevel
+            return lvl.useMemory or lvl.useDisk
+        except Exception:
+            return False
+
+    node_props = (
+        "properties_json" if "properties_json" in nodes.columns else "properties"
+    )
+    edge_props = (
+        "properties_json" if "properties_json" in edges.columns else "properties"
+    )
+    edge_cols = ["element_id", "label", "start_element_id", "end_element_id"]
+    if hashed_ids:
+        edge_cols += ["start_node_content_hash", "end_node_content_hash"]
+    we_persisted: list[DataFrame] = []
+    if not _is_cached(nodes):
+        nodes = nodes.select("element_id", "labels", node_props, "content_hash").persist()
+        we_persisted.append(nodes)
+    if not _is_cached(edges):
+        edges = edges.select(*edge_cols, edge_props).persist()
+        we_persisted.append(edges)
+
     node_lines = _serialize_nodes(nodes, export_id, hashed_ids)
     rel_lines = _serialize_rels(edges, export_id, hashed_ids)
-    if sort_lines:
-        node_lines = node_lines.orderBy("line")
-        rel_lines = rel_lines.orderBy("line")
-    node_lines = node_lines.persist()
-    rel_lines = rel_lines.persist()
 
     try:
-        node_stats = _label_stats_nodes(node_lines)
-        rel_stats = _label_stats_rels(rel_lines)
-        # per-label stats double-count multi-label nodes; the true count is
-        # the line count
-        node_count = node_lines.count()
-        rel_count = rel_lines.count()
+        # Write-first flow: the executor text write is the ONLY job that
+        # evaluates serialization; record counts, per-label stats, and the
+        # invalid-label tally all come from one cheap JVM readback scan of
+        # the written files.  The reference computes the same statistics
+        # while streaming, then seeks back into the padded metadata line
+        # (Workflow/MetadataWriter.fs:32-224) — here the metadata line is
+        # simply composed after the data lands.
+        node_out = node_lines.select("line")
+        rel_out = rel_lines.select("line")
+
+        spark = nodes.sparkSession
+        os.makedirs(out_dir, exist_ok=True)
+
+        if single_file:
+            # NB: no leading "_"/"." in the scratch dir name — Spark's file
+            # index treats those as hidden and the readback would see nothing
+            sections_dir = os.path.join(out_dir, f"tmp-sections-{export_id[:8]}")
+            # both sections in ONE write job: a section key puts nodes
+            # before relationships; orderBy range-partitions, so part files
+            # in name order ARE globally ordered
+            all_lines = node_out.select(
+                F.lit(0).alias("sec"), "line"
+            ).unionByName(rel_out.select(F.lit(1).alias("sec"), "line"))
+            sort_keys = ["sec", "line"] if sort_lines else ["sec"]
+            all_lines.orderBy(*sort_keys).select("line").write.mode(
+                "overwrite"
+            ).text(sections_dir)
+            written_paths = [sections_dir]
+        else:
+            # scale path: executor-written line files per section
+            nodes_dir = os.path.join(out_dir, "nodes")
+            rels_dir = os.path.join(out_dir, "relationships")
+            if sort_lines:
+                # per-section global order needs one range-sort per section
+                node_out.orderBy("line").write.mode("overwrite").text(nodes_dir)
+                rel_out.orderBy("line").write.mode("overwrite").text(rels_dir)
+            else:
+                # unsorted: both sections land in ONE partitionBy write job,
+                # then the partition dirs move to their contract names
+                import shutil
+
+                scratch = os.path.join(out_dir, f"tmp-write-{export_id[:8]}")
+                node_out.select(
+                    F.lit("nodes").alias("section"), "line"
+                ).unionByName(
+                    rel_out.select(F.lit("relationships").alias("section"), "line")
+                ).write.partitionBy("section").mode("overwrite").text(scratch)
+                for sec, dest in (("nodes", nodes_dir), ("relationships", rels_dir)):
+                    src_dir = os.path.join(scratch, f"section={sec}")
+                    shutil.rmtree(dest, ignore_errors=True)
+                    if os.path.isdir(src_dir):
+                        os.replace(src_dir, dest)
+                    else:
+                        os.makedirs(dest, exist_ok=True)  # empty section
+                shutil.rmtree(scratch, ignore_errors=True)
+            written_paths = [nodes_dir, rels_dir]
+
+        node_stats, rel_stats, readback = _stats_from_written(
+            spark, written_paths
+        )
+        node_count = readback["node_count"]
+        rel_count = readback["rel_count"]
         labels = [s["label"] for s in node_stats]
         rel_types = [s["label"] for s in rel_stats]
 
@@ -337,6 +695,18 @@ def export_jsonl(
         warn_records = [
             {"type": "warning", **w} for w in (warnings or [])
         ]
+        # label-validation warnings (reference GraphElements.fs:146-153
+        # tracks a warning per invalid label, summarized here like the A6
+        # warning dedup — one record with a count; the >100-labels cap is
+        # silent in the reference, Seq.truncate, and silent here too)
+        n_invalid = readback["invalid_labels"]
+        if n_invalid:
+            warn_records.append({
+                "type": "warning",
+                "timestamp": timestamp_utc,
+                "message": f"invalid_label: {n_invalid} label(s) replaced "
+                           "with _invalid_label",
+            })
 
         metadata = build_metadata(
             export_id=export_id,
@@ -353,45 +723,31 @@ def export_jsonl(
             timestamp_utc=timestamp_utc,
         )
 
-        os.makedirs(out_dir, exist_ok=True)
         filename = generate_filename(db_name, node_count, rel_count, export_id, started)
         final_path = os.path.join(out_dir, filename)
 
         if single_file:
-            # executors write each section in parallel (orderBy → range-
-            # partitioned, so part files in name order ARE globally sorted);
-            # the driver then bulk-concatenates file streams — constant
-            # memory, no per-row Py4J traffic — and atomically renames
+            # the driver bulk-concatenates file streams — constant memory,
+            # no per-row Py4J traffic — and atomically renames
             # (reference Export/Core.fs:437-462)
             import glob
             import shutil
 
             tmp_path = final_path + ".tmp"
-            sections_dir = os.path.join(out_dir, f"_sections_{export_id[:8]}")
-            nodes_txt = os.path.join(sections_dir, "nodes")
-            rels_txt = os.path.join(sections_dir, "rels")
-            node_lines.select("line").write.mode("overwrite").text(nodes_txt)
-            rel_lines.select("line").write.mode("overwrite").text(rels_txt)
             metadata["export_manifest"]["total_export_duration_seconds"] = round(
                 time.perf_counter() - t0, 6
             )
             with open(tmp_path, "w", encoding="utf-8") as f:
                 f.write(dumps(metadata) + "\n")
-                for section in (nodes_txt, rels_txt):
-                    for part in sorted(glob.glob(os.path.join(section, "part-*"))):
-                        with open(part, encoding="utf-8") as pf:
-                            shutil.copyfileobj(pf, f, 1 << 20)
+                for part in sorted(glob.glob(os.path.join(sections_dir, "part-*"))):
+                    with open(part, encoding="utf-8") as pf:
+                        shutil.copyfileobj(pf, f, 1 << 20)
                 for rec in err_records + warn_records:
                     f.write(dumps(rec) + "\n")
             os.replace(tmp_path, final_path)
             shutil.rmtree(sections_dir, ignore_errors=True)
             files = [final_path]
         else:
-            # scale path: executor-written line files per section
-            nodes_dir = os.path.join(out_dir, "nodes")
-            rels_dir = os.path.join(out_dir, "relationships")
-            node_lines.select("line").write.mode("overwrite").text(nodes_dir)
-            rel_lines.select("line").write.mode("overwrite").text(rels_dir)
             metadata["export_manifest"]["total_export_duration_seconds"] = round(
                 time.perf_counter() - t0, 6
             )
@@ -412,12 +768,16 @@ def export_jsonl(
             files=files,
         )
     finally:
-        node_lines.unpersist()
-        rel_lines.unpersist()
+        for df in we_persisted:
+            df.unpersist()
 
 
 def with_properties_json(edges: DataFrame) -> DataFrame:
-    """Edge projection for the sink: struct properties → JSON string."""
+    """Edge projection for the sink: struct properties → contract-final JSON
+    bytes (JVM fast path for simple bags; §1.3 UDF otherwise), enabling the
+    sink's all-JVM record assembly."""
+    from neo4j_export_tool_spark.functions.export_json import export_props_json_col
+
     return edges.select(
         "element_id",
         "label",
@@ -425,5 +785,5 @@ def with_properties_json(edges: DataFrame) -> DataFrame:
         "end_element_id",
         "start_node_content_hash",
         "end_node_content_hash",
-        F.to_json("properties").alias("properties_json"),
+        export_props_json_col(edges).alias("properties_json"),
     )
