@@ -132,3 +132,50 @@ def test_entity_linking_aliases(spark):
     # alias blocked on 'a.' → blocking key differs from canonical; may miss:
     # document actual behavior (alias resolution comes from canonicalization)
     assert by_id["m1"]["link_score"] == pytest.approx(1.0)
+
+
+def test_distributed_idf_matches_driver_kernel(spark):
+    """kb_trigram_idf (distributed, bounded collect) must equal build_idf
+    (driver kernel) exactly — same trigram sets, same counts, same floats."""
+    from neo4j_export_tool_spark.operators.linking import build_idf, kb_trigram_idf
+
+    names = [
+        "Acme Analytics", "Acme Corp", "Claude Shannon", "Grace Hopper",
+        "Rivertown", "Café München GmbH", "", "A",
+    ]
+    kb = spark.createDataFrame(
+        [(f"kb:{i}", n) for i, n in enumerate(names)], "kb_id string, name string"
+    )
+    assert kb_trigram_idf(kb) == build_idf(names)
+
+
+def test_link_mentions_no_broadcast_hints_no_kb_collect(spark):
+    """Scale contract: the fan-back join and the candidate join carry NO
+    broadcast hints (AQE decides at runtime), and the KB never collects to
+    the driver (IDF comes from the distributed trigram job)."""
+    from neo4j_export_tool_spark.operators.linking import kb_from_gazetteer, link_mentions
+    from neo4j_export_tool_spark.sources.synth import GAZETTEER
+
+    kb = kb_from_gazetteer(spark, GAZETTEER)
+    mentions = spark.createDataFrame(
+        [("u1", "Acme Analytics"), ("u2", "Rivertown")], "url string, surface string"
+    )
+
+    kb_rows_collected = []
+    orig_collect = type(kb).collect
+
+    def guarded_collect(self):
+        if set(self.columns) >= {"kb_id", "name"}:
+            kb_rows_collected.append(self.columns)
+        return orig_collect(self)
+
+    type(kb).collect = guarded_collect
+    try:
+        linked = link_mentions(mentions, kb)
+        # analyzed logical plan must carry no broadcast hints
+        logical = linked._jdf.queryExecution().analyzed().toString()
+        assert "broadcast" not in logical.lower(), logical
+        assert linked.count() == 2
+    finally:
+        type(kb).collect = orig_collect
+    assert kb_rows_collected == [], "KB rows were collected to the driver"

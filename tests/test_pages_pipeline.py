@@ -153,3 +153,26 @@ def test_ledger_metrics_on_disk(work_dir, first_run):
         entry = json.load(f)
     assert entry["metrics"]["rows"] == N_DOCS
     assert entry["metrics"]["seconds"] > 0
+
+
+def test_changed_config_invalidates_dependent_stages(spark, work_dir, first_run):
+    """A resumed run with a changed gazetteer must recompute the stages
+    whose upstream closure consumed it (mentions/canonicalize/link/nodes/
+    edges/export) while still skipping config-independent ones (extract;
+    triples depends only on templates)."""
+    pages = pages_spark_df(spark, N_DOCS, seed=SEED, partitions=4)
+    # re-baseline: earlier tests rewrite ledger entries with foreign
+    # fingerprints; restore the canonical-run ledger first
+    PagesPipeline(
+        spark, work_dir, GAZETTEER, RELATION_TEMPLATES, SURFACES, resume=True
+    ).run(pages, fingerprint=f"synth:{N_DOCS}:{SEED}")
+    gaz2 = dict(GAZETTEER)
+    gaz2["Spark Harbor"] = ("Place", "Spark Harbor")
+    pipe = PagesPipeline(
+        spark, work_dir, gaz2, RELATION_TEMPLATES, SURFACES, resume=True
+    )
+    res = pipe.run(pages, fingerprint=f"synth:{N_DOCS}:{SEED}")
+    assert "extract" in res.stages_skipped
+    assert "triples" in res.stages_skipped
+    for stage in ["mentions", "canonicalize", "link", "nodes", "edges", "export"]:
+        assert stage in res.stages_run, stage
