@@ -54,6 +54,188 @@ MAX_LABELS_PER_NODE = 100  # Core/Constants.fs:191
 # nested graph elements switch serialization mode by depth (Context.fs:38-43)
 NESTED_SHALLOW_MODE_DEPTH = 5  # Core/Constants.fs:187
 NESTED_REFERENCE_MODE_DEPTH = 8  # Core/Constants.fs:188
+MAX_LABELS_IN_REFERENCE_MODE = 10  # Core/Constants.fs:192
+MAX_LABELS_IN_PATH_COMPACT = 5  # Core/Constants.fs:193
+PATH_FULL_MODE_LIMIT = 1_000  # Core/Constants.fs:181
+PATH_COMPACT_MODE_LIMIT = 10_000  # Core/Constants.fs:182
+MAX_PATH_LENGTH = 100_000  # Core/Constants.fs:180
+
+
+def _truncate_100ns(nanos: int) -> int:
+    """Neo4j stores ns; .NET keeps 100-ns ticks — the reference truncates
+    (``BatchProcessing.fs:94-138``, ``docs/Types.md:104``)."""
+    return nanos - (nanos % 100)
+
+
+def _fmt_frac(nanos: int) -> str:
+    """Fractional-second suffix: empty at 0, else 9 digits (the reference
+    driver prints full nanosecond fields, e.g. ``.123456700``)."""
+    return "" if nanos == 0 else f".{nanos:09d}"
+
+
+def _fmt_offset(offset_seconds: int) -> str:
+    sign = "-" if offset_seconds < 0 else "+"
+    s = abs(offset_seconds)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    out = f"{sign}{h:02d}:{m:02d}"
+    if sec:
+        out += f":{sec:02d}"
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class ZonedDateTime:
+    """Neo4j DateTime with nanosecond field and optional zone id — formats
+    as the reference's ``ZonedDateTime.ToString()``:
+    ``2024-01-15T14:30:15.123456700+02:00[Europe/Berlin]``
+    (``Temporal.fs:29-40``, ``docs/Types.md:121-126``)."""
+
+    year: int
+    month: int
+    day: int
+    hour: int = 0
+    minute: int = 0
+    second: int = 0
+    nanos: int = 0
+    offset_seconds: int = 0
+    zone_id: str | None = None
+
+    def __str__(self) -> str:
+        n = _truncate_100ns(self.nanos)
+        out = (
+            f"{self.year:04d}-{self.month:02d}-{self.day:02d}"
+            f"T{self.hour:02d}:{self.minute:02d}:{self.second:02d}"
+            f"{_fmt_frac(n)}{_fmt_offset(self.offset_seconds)}"
+        )
+        if self.zone_id:
+            out += f"[{self.zone_id}]"
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class OffsetTime:
+    """Neo4j Time (``14:30:15.123456700+02:00``, ``docs/Types.md:112-114``)."""
+
+    hour: int
+    minute: int = 0
+    second: int = 0
+    nanos: int = 0
+    offset_seconds: int = 0
+
+    def __str__(self) -> str:
+        n = _truncate_100ns(self.nanos)
+        return (
+            f"{self.hour:02d}:{self.minute:02d}:{self.second:02d}"
+            f"{_fmt_frac(n)}{_fmt_offset(self.offset_seconds)}"
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalTimeNs:
+    """Neo4j LocalTime with nanosecond field (``docs/Types.md:116-118``)."""
+
+    hour: int
+    minute: int = 0
+    second: int = 0
+    nanos: int = 0
+
+    def __str__(self) -> str:
+        n = _truncate_100ns(self.nanos)
+        return f"{self.hour:02d}:{self.minute:02d}:{self.second:02d}{_fmt_frac(n)}"
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalDateTimeNs:
+    """Neo4j LocalDateTime with nanosecond field (``docs/Types.md:128-130``)."""
+
+    year: int
+    month: int
+    day: int
+    hour: int = 0
+    minute: int = 0
+    second: int = 0
+    nanos: int = 0
+
+    def __str__(self) -> str:
+        n = _truncate_100ns(self.nanos)
+        return (
+            f"{self.year:04d}-{self.month:02d}-{self.day:02d}"
+            f"T{self.hour:02d}:{self.minute:02d}:{self.second:02d}{_fmt_frac(n)}"
+        )
+
+
+def _zone_id_of(tz: dt.tzinfo | None) -> str | None:
+    """IANA zone id when the tzinfo carries one (zoneinfo.ZoneInfo.key);
+    fixed-offset tzinfo (dt.timezone) has none → offset-only format."""
+    return getattr(tz, "key", None)
+
+
+def format_temporal(value: dt.datetime | dt.date | dt.time) -> str:
+    """Reference temporal string for stdlib datetime values (µs precision →
+    nanos = µs·1000): naive datetime → LocalDateTime, aware → ZonedDateTime
+    with zone-id suffix when the tzinfo is a zoneinfo.ZoneInfo."""
+    if isinstance(value, dt.datetime):
+        nanos = value.microsecond * 1000
+        if value.tzinfo is None:
+            return str(
+                LocalDateTimeNs(
+                    value.year, value.month, value.day,
+                    value.hour, value.minute, value.second, nanos,
+                )
+            )
+        offset = int(value.utcoffset().total_seconds())
+        return str(
+            ZonedDateTime(
+                value.year, value.month, value.day,
+                value.hour, value.minute, value.second, nanos,
+                offset, _zone_id_of(value.tzinfo),
+            )
+        )
+    if isinstance(value, dt.time):
+        nanos = value.microsecond * 1000
+        if value.tzinfo is None:
+            return str(LocalTimeNs(value.hour, value.minute, value.second, nanos))
+        offset = int(value.utcoffset().total_seconds())
+        return str(
+            OffsetTime(value.hour, value.minute, value.second, nanos, offset)
+        )
+    return value.isoformat()  # Date: "2024-01-15"
+
+
+@dataclasses.dataclass(frozen=True)
+class Node:
+    """A graph node appearing as a property VALUE (nested element).
+
+    Serialization is depth-adaptive per reference ``GraphElements.fs:40-83``:
+    Deep (< 5), Shallow (5-7, ``embedded_node_shallow`` with a property
+    count), Reference (≥ 8, ``node_reference`` with ≤ 10 labels)."""
+
+    element_id: str
+    labels: tuple[str, ...] = ()
+    properties: Mapping[str, Any] | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Relationship:
+    """A graph relationship appearing as a property VALUE (nested element);
+    depth-adaptive per reference ``GraphElements.fs:86-125``."""
+
+    element_id: str
+    type: str
+    start_element_id: str
+    end_element_id: str
+    properties: Mapping[str, Any] | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Path:
+    """A graph path value; serialization level by node count (reference
+    ``Path.fs:161-210``): Full (≤ 1000), Compact (≤ 10000, ids+capped
+    labels), IdsOnly above; > 100000 nodes is a tracked error marker."""
+
+    nodes: tuple[Node, ...] = ()
+    relationships: tuple[Relationship, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,6 +333,154 @@ def validate_label(label: str | None) -> str:
     return label
 
 
+def _encode_bag(props: Mapping[str, Any] | None, value_depth: int) -> dict[str, Any]:
+    """Property-bag body shared by records, nested elements, and paths —
+    mirrors reference ``serializeProperties`` (Collections.fs:104-128):
+    values encode at ``value_depth``, keys dedup/truncate, item cap with
+    the too-many-properties marker."""
+    if not props:
+        return {}
+    keys = list(props.keys())[:MAX_COLLECTION_ITEMS]
+    safe = ensure_unique_keys([str(k) for k in keys])
+    out = {sk: encode_value(props[k], value_depth) for sk, k in zip(safe, keys)}
+    if len(props) > MAX_COLLECTION_ITEMS:
+        out["_truncated"] = f"too_many_properties: {len(props)} total"
+    return out
+
+
+def _nested_level(depth: int) -> str:
+    """Deep/Shallow/Reference by depth (reference ``Context.fs:38-43``)."""
+    if depth >= NESTED_REFERENCE_MODE_DEPTH:
+        return "Reference"
+    if depth >= NESTED_SHALLOW_MODE_DEPTH:
+        return "Shallow"
+    return "Deep"
+
+
+def _encode_node(node: Node, depth: int) -> dict[str, Any]:
+    """Depth-adaptive nested node (reference ``GraphElements.fs:40-83``)."""
+    level = _nested_level(depth)
+    if level == "Reference":
+        return {
+            "_type": "node_reference",
+            "element_id": node.element_id,
+            "_labels": list(node.labels)[:MAX_LABELS_IN_REFERENCE_MODE],
+        }
+    if level == "Shallow":
+        return {
+            "_type": "embedded_node_shallow",
+            "element_id": node.element_id,
+            "labels": list(node.labels),
+            "_property_count": len(node.properties or {}),
+        }
+    return {
+        "_type": "embedded_node",
+        "element_id": node.element_id,
+        "labels": list(node.labels),
+        "properties": _encode_bag(node.properties, depth + 1),
+    }
+
+
+def _encode_relationship(rel: Relationship, depth: int) -> dict[str, Any]:
+    """Depth-adaptive nested relationship (``GraphElements.fs:86-125``)."""
+    level = _nested_level(depth)
+    if level == "Reference":
+        return {
+            "_type": "relationship_reference",
+            "element_id": rel.element_id,
+            "_type_name": rel.type,
+        }
+    if level == "Shallow":
+        return {
+            "_type": "embedded_relationship_shallow",
+            "element_id": rel.element_id,
+            "type": rel.type,
+            "start_element_id": rel.start_element_id,
+            "end_element_id": rel.end_element_id,
+            "_property_count": len(rel.properties or {}),
+        }
+    return {
+        "_type": "embedded_relationship",
+        "element_id": rel.element_id,
+        "type": rel.type,
+        "start_element_id": rel.start_element_id,
+        "end_element_id": rel.end_element_id,
+        "properties": _encode_bag(rel.properties, depth + 1),
+    }
+
+
+def _path_sequence(node_count: int, rel_count: int) -> list[dict[str, Any]]:
+    """Alternating node/relationship index pattern (``Path.fs:38-72``)."""
+    total = node_count + rel_count
+    out = []
+    for i in range(total):
+        kind = "node" if i % 2 == 0 else "relationship"
+        idx = i // 2
+        if (kind == "node" and idx < node_count) or (
+            kind == "relationship" and idx < rel_count
+        ):
+            out.append({"type": kind, "index": idx})
+    return out
+
+
+def _encode_path(path: Path) -> dict[str, Any]:
+    """Path value with Full/Compact/IdsOnly levels (``Path.fs:161-210``;
+    thresholds ``Core/Constants.fs:180-182``).  Node/rel property bags in
+    Full mode encode at depth zero, exactly like the reference."""
+    n = len(path.nodes)
+    if n > MAX_PATH_LENGTH:
+        return {"_type": "path", "_error": "path_too_long"}
+    if n > PATH_COMPACT_MODE_LIMIT:
+        level = "IdsOnly"
+    elif n > PATH_FULL_MODE_LIMIT:
+        level = "Compact"
+    else:
+        level = "Full"
+    out: dict[str, Any] = {
+        "_type": "path",
+        "length": n,
+        "_serialization_level": level,
+    }
+    if level == "Full":
+        out["nodes"] = [
+            {
+                "element_id": nd.element_id,
+                "labels": list(nd.labels),
+                "properties": _encode_bag(nd.properties, 0),
+            }
+            for nd in path.nodes
+        ]
+        out["relationships"] = [
+            {
+                "element_id": r.element_id,
+                "type": r.type,
+                "start_element_id": r.start_element_id,
+                "end_element_id": r.end_element_id,
+                "properties": _encode_bag(r.properties, 0),
+            }
+            for r in path.relationships
+        ]
+    elif level == "Compact":
+        out["nodes"] = [
+            {
+                "element_id": nd.element_id,
+                "labels": list(nd.labels)[:MAX_LABELS_IN_PATH_COMPACT],
+            }
+            for nd in path.nodes
+        ]
+        out["relationships"] = [
+            {"element_id": r.element_id, "type": r.type}
+            for r in path.relationships
+        ]
+    else:
+        out["node_element_ids"] = [nd.element_id for nd in path.nodes]
+        out["relationship_element_ids"] = [
+            r.element_id for r in path.relationships
+        ]
+    out["sequence"] = _path_sequence(n, len(path.relationships))
+    return out
+
+
 def encode_value(value: Any, depth: int = 0) -> Any:
     """Encode one property value into its JSON-ready shape per the contract."""
     # Arrow→pandas struct decoding hands back numpy scalars/arrays; normalize
@@ -195,6 +525,12 @@ def encode_value(value: Any, depth: int = 0) -> Any:
                 "_sha256": _sha256_b64(raw),
             }
         return base64.b64encode(raw).decode("ascii")
+    if isinstance(value, Node):
+        return _encode_node(value, depth)
+    if isinstance(value, Relationship):
+        return _encode_relationship(value, depth)
+    if isinstance(value, Path):
+        return _encode_path(value)
     if isinstance(value, Point):
         out: dict[str, Any] = {
             "type": "Point",
@@ -207,13 +543,15 @@ def encode_value(value: Any, depth: int = 0) -> Any:
         return out
     if isinstance(value, Duration):
         return value.iso()
-    if isinstance(value, dt.datetime):
-        # µs-precision ISO; zone offset appended when tz-aware ("O"-format
-        # analog, reference Temporal.fs:42-46). Spark is µs, reference 100ns.
-        return value.isoformat()
+    if isinstance(value, (ZonedDateTime, OffsetTime, LocalTimeNs, LocalDateTimeNs)):
+        # nanosecond-field temporals: reference ToString() formats with the
+        # 100-ns truncation and zone-id suffix (Temporal.fs:29-40)
+        return str(value)
+    if isinstance(value, (dt.datetime, dt.time)):
+        # stdlib datetimes are µs; same reference format, nanos = µs·1000,
+        # zone-id suffix when tzinfo is a zoneinfo.ZoneInfo
+        return format_temporal(value)
     if isinstance(value, dt.date):
-        return value.isoformat()
-    if isinstance(value, dt.time):
         return value.isoformat()
     if isinstance(value, Mapping):
         keys = list(value.keys())[:MAX_COLLECTION_ITEMS]
@@ -242,16 +580,9 @@ def encode_value(value: Any, depth: int = 0) -> Any:
 
 
 def encode_properties(props: Mapping[str, Any] | None) -> dict[str, Any]:
-    """Property-bag encoding with the too-many-properties cap
-    (reference ``Collections.fs:104-128``)."""
-    if not props:
-        return {}
-    keys = list(props.keys())[:MAX_COLLECTION_ITEMS]
-    safe = ensure_unique_keys([str(k) for k in keys])
-    out = {sk: encode_value(props[k]) for sk, k in zip(safe, keys)}
-    if len(props) > MAX_COLLECTION_ITEMS:
-        out["_truncated"] = f"too_many_properties: {len(props)} total"
-    return out
+    """Record-level property-bag encoding (reference record properties
+    serialize at depth zero, ``GraphElements.fs:156-159``)."""
+    return _encode_bag(props, 0)
 
 
 def dumps(obj: Any) -> str:

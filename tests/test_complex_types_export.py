@@ -85,8 +85,10 @@ def test_binary_base64(exported):
 
 
 def test_temporal_iso(exported):
+    # reference LocalDateTime.ToString(): 9-digit nanosecond field
+    # (docs/Types.md:128-130); Spark µs → nanos = µs·1000
     _, lines = exported
-    assert lines[1]["properties"]["ts"] == "2024-02-29T12:30:45.123456"
+    assert lines[1]["properties"]["ts"] == "2024-02-29T12:30:45.123456000"
 
 
 def test_collections_and_null(exported):

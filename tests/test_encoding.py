@@ -212,3 +212,60 @@ def test_json_roundtrip_compact():
     s = dumps(obj)
     assert " " not in s.replace('"a"', "").replace('"b"', "")
     assert json.loads(s) == {"a": 1, "b": [1, 2], "c": {"d": None, "e": "x"}}
+
+
+def test_zoned_datetime_format_parity():
+    """Reference ZonedDateTime.ToString() vectors (Temporal.fs:29-40,
+    docs/Types.md:121-126): offset + optional [zone-id] suffix, 9-digit
+    nanosecond field truncated to 100 ns."""
+    from neo4j_export_tool_spark.functions.encoding import ZonedDateTime
+
+    zdt = ZonedDateTime(2024, 1, 15, 14, 30, 15, nanos=123456789,
+                        offset_seconds=7200, zone_id="Europe/Berlin")
+    assert encode_value(zdt) == "2024-01-15T14:30:15.123456700+02:00[Europe/Berlin]"
+    # offset-only (no named zone)
+    no_zone = ZonedDateTime(2024, 1, 15, 14, 30, 15, nanos=123456700,
+                            offset_seconds=7200)
+    assert encode_value(no_zone) == "2024-01-15T14:30:15.123456700+02:00"
+    # zero nanos → no fractional part; negative offset
+    ny = ZonedDateTime(2024, 3, 15, 9, 0, 0, offset_seconds=-5 * 3600,
+                       zone_id="America/New_York")
+    assert encode_value(ny) == "2024-03-15T09:00:00-05:00[America/New_York]"
+
+
+def test_offset_time_and_local_temporals():
+    from neo4j_export_tool_spark.functions.encoding import (
+        LocalDateTimeNs,
+        LocalTimeNs,
+        OffsetTime,
+    )
+
+    assert encode_value(OffsetTime(14, 30, 15, nanos=123456700, offset_seconds=7200)) \
+        == "14:30:15.123456700+02:00"
+    assert encode_value(LocalTimeNs(14, 30, 15, nanos=123456789)) \
+        == "14:30:15.123456700"  # 100ns truncation
+    assert encode_value(LocalDateTimeNs(2024, 1, 15, 14, 30, 15)) \
+        == "2024-01-15T14:30:15"
+    assert encode_value(OffsetTime(9, 0, 0, offset_seconds=-7 * 3600)) \
+        == "09:00:00-07:00"
+
+
+def test_stdlib_datetime_uses_reference_format():
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    # zoneinfo tzinfo → zone-id suffix
+    berlin = dt.datetime(2024, 1, 15, 14, 30, 15, 123456,
+                         tzinfo=ZoneInfo("Europe/Berlin"))
+    assert encode_value(berlin) == "2024-01-15T14:30:15.123456000+01:00[Europe/Berlin]"
+    # fixed offset → offset only
+    fixed = dt.datetime(2024, 1, 15, 14, 30, 15,
+                        tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    assert encode_value(fixed) == "2024-01-15T14:30:15+02:00"
+    # naive → LocalDateTime
+    assert encode_value(dt.datetime(2024, 1, 15, 14, 30, 15)) == "2024-01-15T14:30:15"
+    # aware time → OffsetTime; naive time → LocalTime; date unchanged
+    t = dt.time(14, 30, 15, 123456, tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    assert encode_value(t) == "14:30:15.123456000+02:00"
+    assert encode_value(dt.time(12, 0, 0)) == "12:00:00"
+    assert encode_value(dt.date(2024, 1, 15)) == "2024-01-15"
