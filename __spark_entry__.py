@@ -215,13 +215,15 @@ def _q12_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q13_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-shingle Jaccard near-dup pairs (integer-exact threshold)."""
+    """Exact n-gram-shingle Jaccard near-dup pairs (integer-exact threshold)
+    with stop-shingle pruning ON (max_shingle_df=20) — the scale knob that
+    bounds the posting self-join; the oracle prunes identically."""
     from neo4j_export_tool_spark.operators.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "text", "doc_id", threshold_pct=60, shingle_n=3).orderBy(
-        "doc_a", "doc_b"
-    )
+    return jaccard_pairs(
+        docs, "text", "doc_id", threshold_pct=60, shingle_n=3, max_shingle_df=20
+    ).orderBy("doc_a", "doc_b")
 
 
 def _q14_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,7 +548,20 @@ _DOC_NODE_HASH = (
 _CONCEPT_NODE_HASH = "sha256('node:Concept:{\"name\":\"' || concept || '\"}')"
 
 
-_SHINGLE_JACCARD_SQL = """
+def _shingle_jaccard_sql(max_shingle_df: int | None = None) -> str:
+    """Exact shingle-Jaccard oracle; with ``max_shingle_df`` it prunes
+    stop-shingles from the posting list exactly like the engine
+    (sizes stay unpruned; shared counts shrink)."""
+    prune = (
+        f"""
+  SELECT p.doc, p.shingle FROM posting0 p
+  JOIN (SELECT shingle FROM posting0 GROUP BY shingle
+        HAVING count(*) <= {max_shingle_df}) k USING (shingle)
+"""
+        if max_shingle_df is not None
+        else "\n  SELECT doc, shingle FROM posting0\n"
+    )
+    return f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), sets AS (
@@ -556,9 +571,9 @@ WITH tok AS (
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
          )) AS shingles
   FROM tok
-), posting AS (
+), posting0 AS (
   SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0
-), sizes AS (
+), posting AS ({prune}), sizes AS (
   SELECT doc_id AS doc, len(shingles) AS n FROM sets WHERE len(shingles) > 0
 ), shared AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
@@ -572,6 +587,9 @@ JOIN sizes sb ON sb.doc = doc_b
 WHERE 100 * shared >= 60 * (sa.n + sb.n - shared)
 ORDER BY doc_a, doc_b
 """
+
+
+_SHINGLE_JACCARD_SQL = _shingle_jaccard_sql()
 
 _SIMHASH_VOTES = ",\n         ".join(
     f"sum(CASE WHEN ((hv >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
@@ -707,8 +725,10 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
             FROM documents ORDER BY doc_id
         """,
-        "q13_dedup_jaccard": _SHINGLE_JACCARD_SQL,
-        # verified LSH output equals the exact join at the same threshold
+        # q13 runs with stop-shingle pruning ON (engine max_shingle_df=20);
+        # the oracle prunes the posting list identically
+        "q13_dedup_jaccard": _shingle_jaccard_sql(max_shingle_df=20),
+        # verified LSH output equals the exact unpruned join at the threshold
         "q14_dedup_minhash_lsh": _SHINGLE_JACCARD_SQL,
         "q15_simhash": _SIMHASH_SQL,
         # cosine built from list_dot_product with the engine's exact formula

@@ -71,8 +71,23 @@ def jaccard_pairs(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard pairs: (doc_a, doc_b, shared, n_a, n_b)
-    with 100*shared >= threshold_pct*(n_a+n_b-shared).  Integer-exact."""
-    sets = _shingle_sets(df, text_col, id_col, shingle_n)
+    with 100*shared >= threshold_pct*(n_a+n_b-shared).  Integer-exact.
+
+    ``max_shingle_df`` prunes stop-shingles (posting rows whose shingle
+    appears in more than that many docs) via a left-semi join BEFORE the
+    posting self-join — the self-join is O(Σ df²) per shingle, so one hot
+    boilerplate shingle ("click here to subscribe") otherwise turns the
+    kernel into a quadratic skew bomb at web scale.  Pruning only shrinks
+    ``shared`` counts (sizes stay exact), so surviving pairs are a subset.
+
+    The shingle-set plan is localCheckpoint'd: sizes, the df counts, and
+    BOTH sides of the self-join reuse one materialization instead of
+    re-tokenizing the corpus per branch (~5 evaluations otherwise); the
+    blocks free themselves when the plan is garbage-collected.
+    """
+    sets = _shingle_sets(df, text_col, id_col, shingle_n).localCheckpoint(
+        eager=False
+    )
     sizes = sets.select("doc", F.size("shingles").alias("n"))
     posting = sets.select("doc", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:

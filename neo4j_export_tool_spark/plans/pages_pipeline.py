@@ -110,6 +110,9 @@ class PipelineResult:
     stages_run: list[str] = field(default_factory=list)
     stages_skipped: list[str] = field(default_factory=list)
     metrics: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # BatchPerformanceTracker.metrics() over the stage wall times — the
+    # reference's pagination_performance analog (Export/Types.fs:140-216)
+    performance: dict[str, Any] | None = None
 
 
 class PagesPipeline:
@@ -247,6 +250,18 @@ class PagesPipeline:
             lambda: self._build_edges(triples, linked, nodes),
         )
         self._export_stage(nodes, edges, self._stage_fp(fp, gaz, tpl))
+
+        # classify the run's stage-timing trend (constant/linear/exponential,
+        # reference Export/Types.fs:179-208); stages are this engine's
+        # "batches", so sample_every=1
+        from neo4j_export_tool_spark.plans.perf import BatchPerformanceTracker
+
+        tracker = BatchPerformanceTracker(strategy="stage_ledger", sample_every=1)
+        for stage in self.result.stages_run:
+            tracker.record_batch(
+                self.result.metrics.get(stage, {}).get("seconds", 0.0) * 1000.0
+            )
+        self.result.performance = tracker.metrics()
         return self.result
 
     def _export_stage(self, nodes: DataFrame, edges: DataFrame, fp: str) -> None:

@@ -75,3 +75,35 @@ def test_embedding_neardup(spark, sf_dir):
     for r in got:
         assert r["cosine"] >= 0.5
         assert r["id_a"] < r["id_b"]
+
+
+def test_stop_shingle_pruning_kills_boilerplate_pairs(spark):
+    """Hot-shingle skew: docs sharing ONLY a boilerplate phrase pair up
+    without pruning but not with it; genuinely near-duplicate docs survive
+    either way.  The pruning is a left-semi join ahead of the posting
+    self-join (the O(df²) skew bomb at web scale)."""
+    from neo4j_export_tool_spark.operators.dedup import jaccard_pairs
+
+    boiler = "click here to subscribe to our newsletter today and save"
+    # one unique token + dominant boilerplate → Jaccard ≈ 0.8 between any two
+    uniq = [f"topic{i} " + boiler for i in range(30)]
+    # two true near-dups: long shared body, tiny difference
+    body = " ".join(f"w{j}" for j in range(40))
+    rows = [(i, t) for i, t in enumerate(uniq)]
+    rows += [(100, body + " ending one"), (101, body + " ending two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unpruned = jaccard_pairs(docs, "text", "doc_id", threshold_pct=60)
+    pruned = jaccard_pairs(docs, "text", "doc_id", threshold_pct=60,
+                           max_shingle_df=10)
+    up = {(r["doc_a"], r["doc_b"]) for r in unpruned.collect()}
+    pr = {(r["doc_a"], r["doc_b"]) for r in pruned.collect()}
+    assert (100, 101) in up and (100, 101) in pr  # true pair survives
+    boiler_pairs_up = {p for p in up if p[0] < 100 and p[1] < 100}
+    boiler_pairs_pr = {p for p in pr if p[0] < 100 and p[1] < 100}
+    assert boiler_pairs_up, "test corpus should pair on boilerplate unpruned"
+    assert not boiler_pairs_pr, "pruning must kill boilerplate-only pairs"
+    # plan: pruning is a semi-join before the self-join
+    from tests.test_plan_quality import plan_of
+
+    assert "LeftSemi" in plan_of(pruned)

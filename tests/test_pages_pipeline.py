@@ -176,3 +176,13 @@ def test_changed_config_invalidates_dependent_stages(spark, work_dir, first_run)
     assert "triples" in res.stages_skipped
     for stage in ["mentions", "canonicalize", "link", "nodes", "edges", "export"]:
         assert stage in res.stages_run, stage
+
+
+def test_pipeline_performance_trend(first_run):
+    perf = first_run.performance
+    assert perf is not None
+    assert perf["strategy"] == "stage_ledger"
+    assert perf["total_batches"] == len(first_run.stages_run)
+    assert perf["performance_trend"] in {
+        "constant", "linear", "exponential", "insufficient_data",
+    }
