@@ -107,3 +107,32 @@ def test_stop_shingle_pruning_kills_boilerplate_pairs(spark):
     from tests.test_plan_quality import plan_of
 
     assert "LeftSemi" in plan_of(pruned)
+
+
+def test_blocked_gemm_equals_codegen_bitexact(spark):
+    """The GEMM filter-then-verify path must reproduce the codegen all-pairs
+    join EXACTLY — ids and cosine doubles bit-for-bit — including across
+    multiple blocks."""
+    import random
+
+    from neo4j_export_tool_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, [float(f"{x:.6g}") for x in base]))
+        if i % 3 == 0:  # planted near-dups
+            rows.append((1000 + i, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def as_set(out):
+        return {(r["id_a"], r["id_b"], r["cosine"]) for r in out.collect()}
+
+    # rows_per_block=50 → 5 blocks → exercises within- AND cross-block paths
+    gemm = as_set(embedding_neardup_pairs(
+        df, "embedding", "vec_id", min_cosine=0.5, rows_per_block=50))
+    exact = as_set(embedding_neardup_pairs(
+        df, "embedding", "vec_id", min_cosine=0.5, strategy="codegen"))
+    assert gemm == exact
+    assert len(gemm) >= 40  # planted pairs actually present
