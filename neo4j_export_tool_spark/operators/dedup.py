@@ -170,6 +170,10 @@ def minhash_lsh_pairs_from_sets(
         b = next(rnd) % MERSENNE_PRIME
         params.append((a, b))
 
+    # the shingle-set plan feeds the posting list AND both verify joins;
+    # materialize it once (blocks freed when the plan is GC'd)
+    sets = sets.localCheckpoint(eager=False)
+
     posting = sets.select(
         "doc", F.explode("shingles").alias("sh")
     ).withColumn("h", shingle_hash_col(F.col("sh")) % F.lit(MERSENNE_PRIME))
@@ -203,6 +207,9 @@ def minhash_lsh_pairs_from_sets(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # the band table self-joins: checkpoint so the k-min signature groupBy
+    # runs once, not once per join side
+    banded = banded.localCheckpoint(eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")
