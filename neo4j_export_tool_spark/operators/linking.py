@@ -54,6 +54,19 @@ def trigram_cosine(a: str, b: str) -> float:
     return len(ta & tb) / math.sqrt(len(ta) * len(tb))
 
 
+def _sorted_trigram_sum(trigrams, idf: Mapping[str, float], default: float) -> float:
+    """Sum of squared IDF weights in SORTED trigram order — Python set
+    iteration order is hash-seed-dependent (varies across executor
+    processes), and float addition is not associative, so an unsorted sum
+    would make link scores differ in the last ulp between runs and could
+    flip top-1 ties."""
+    out = 0.0
+    for t in sorted(trigrams):
+        w = idf.get(t, default)
+        out += w * w
+    return out
+
+
 def build_idf(names: list[str]) -> dict[str, float]:
     """Smoothed IDF per trigram over the KB name corpus:
     idf(t) = ln((1+N)/(1+df(t))) + 1 (sklearn-style smoothing).
@@ -100,9 +113,9 @@ def tfidf_trigram_cosine(a: str, b: str, idf: Mapping[str, float]) -> float:
     if not ta or not tb:
         return 0.0
     default = 1.0
-    num = sum(idf.get(t, default) ** 2 for t in ta & tb)
-    na = math.sqrt(sum(idf.get(t, default) ** 2 for t in ta))
-    nb = math.sqrt(sum(idf.get(t, default) ** 2 for t in tb))
+    num = _sorted_trigram_sum(ta & tb, idf, default)
+    na = math.sqrt(_sorted_trigram_sum(ta, idf, default))
+    nb = math.sqrt(_sorted_trigram_sum(tb, idf, default))
     if na == 0.0 or nb == 0.0:
         return 0.0
     return num / (na * nb)

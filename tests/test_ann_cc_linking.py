@@ -179,3 +179,29 @@ def test_link_mentions_no_broadcast_hints_no_kb_collect(spark):
     finally:
         type(kb).collect = orig_collect
     assert kb_rows_collected == [], "KB rows were collected to the driver"
+
+
+def test_link_score_deterministic_across_hash_seeds():
+    """Scores must not depend on Python's randomized set iteration order —
+    float addition is non-associative, and executors run with different
+    hash seeds."""
+    import subprocess
+    import sys
+
+    code = (
+        "from neo4j_export_tool_spark.operators.linking import "
+        "build_idf, tfidf_trigram_cosine;"
+        "idf = build_idf(['Acme Analytics','Acme Corp','Grace Hopper',"
+        "'Café München GmbH']);"
+        "print(repr(tfidf_trigram_cosine('Acme Analytic', 'Acme Analytics', idf)))"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, check=True,
+            env={"PYTHONHASHSEED": str(seed), "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": "/root/repo"},
+        ).stdout.strip()
+        for seed in ("0", "1", "42")
+    }
+    assert len(outs) == 1, f"score varies with hash seed: {outs}"
