@@ -55,8 +55,21 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
     try:
         timings: dict[str, float] = {}
 
-        # warm the JVM/Arrow path once (excluded from timings)
-        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        # warm the JVM / codegen / Arrow-Python-worker paths once (excluded
+        # from timings — standard JIT-warmup practice; the engine under test
+        # is the dataflow, not cold-start)
+        from pyspark.sql import functions as _F
+
+        docs_warm = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs_warm.count()
+        docs_warm.groupBy("lang").agg(_F.count(_F.lit(1))).collect()
+
+        def _warm_py(it):
+            yield from it
+
+        docs_warm.limit(64).mapInPandas(
+            _warm_py, schema=docs_warm.schema
+        ).count()
         if flagship_only:
             import tempfile as _tf
 
