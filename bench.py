@@ -70,6 +70,11 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
         docs_warm.limit(64).mapInPandas(
             _warm_py, schema=docs_warm.schema
         ).count()
+        # warm the package import + Aho-Corasick build on executor python
+        # workers (the dominant first-UDF cost)
+        from neo4j_export_tool_spark.plans.flagship import doc_mentions
+
+        doc_mentions(docs_warm.limit(32)).count()
         if flagship_only:
             import tempfile as _tf
 
