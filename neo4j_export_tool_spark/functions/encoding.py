@@ -37,6 +37,7 @@ from __future__ import annotations
 import base64
 import dataclasses
 import datetime as dt
+import decimal as _decimal
 import hashlib
 import json
 import math
@@ -177,28 +178,34 @@ def format_temporal(value: dt.datetime | dt.date | dt.time) -> str:
     with zone-id suffix when the tzinfo is a zoneinfo.ZoneInfo."""
     if isinstance(value, dt.datetime):
         nanos = value.microsecond * 1000
-        if value.tzinfo is None:
+        off = value.utcoffset() if value.tzinfo is not None else None
+        if off is None:
+            # naive, or a tzinfo that cannot resolve an offset → LocalDateTime
             return str(
                 LocalDateTimeNs(
                     value.year, value.month, value.day,
                     value.hour, value.minute, value.second, nanos,
                 )
             )
-        offset = int(value.utcoffset().total_seconds())
         return str(
             ZonedDateTime(
                 value.year, value.month, value.day,
                 value.hour, value.minute, value.second, nanos,
-                offset, _zone_id_of(value.tzinfo),
+                int(off.total_seconds()), _zone_id_of(value.tzinfo),
             )
         )
     if isinstance(value, dt.time):
         nanos = value.microsecond * 1000
-        if value.tzinfo is None:
+        # NB: a zoneinfo.ZoneInfo on a bare time returns utcoffset()=None
+        # (no date to resolve DST) — encode as LocalTime rather than crash
+        off = value.utcoffset() if value.tzinfo is not None else None
+        if off is None:
             return str(LocalTimeNs(value.hour, value.minute, value.second, nanos))
-        offset = int(value.utcoffset().total_seconds())
         return str(
-            OffsetTime(value.hour, value.minute, value.second, nanos, offset)
+            OffsetTime(
+                value.hour, value.minute, value.second, nanos,
+                int(off.total_seconds()),
+            )
         )
     return value.isoformat()  # Date: "2024-01-15"
 
@@ -501,6 +508,10 @@ def encode_value(value: Any, depth: int = 0) -> Any:
         return value
     if isinstance(value, int):
         return value
+    if isinstance(value, _decimal.Decimal):
+        # reference NumericType → JSON number (Engine.fs:50); Python's json
+        # cannot emit Decimal, so encode through the double path
+        value = float(value)
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"

@@ -68,6 +68,11 @@ def bag_is_export_fast(dtype: T.DataType) -> bool:
         return False
     if len(dtype.fields) > MAX_COLLECTION_ITEMS:
         return False
+    names = [f.name for f in dtype.fields]
+    # duplicate struct field names are legal in Spark but the contract
+    # renames the second to key_1 — schema-level, so not a row hazard
+    if len(set(names)) != len(names):
+        return False
     for f in dtype.fields:
         if not isinstance(f.dataType, _FAST_FIELD_TYPES):
             return False
@@ -93,6 +98,60 @@ def string_hazard(cols: list[Column]) -> Column:
     return reduce(lambda a, b: a | b, checks)
 
 
+_TYPED_FIELD_TYPES = (
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.DateType,
+    T.BinaryType,
+    T.DecimalType,
+)
+
+
+def _bag_has_typed_fields(dtype: T.DataType) -> bool:
+    """Fields whose to_json stringification loses the §1.3 contract format
+    (temporals → Jackson timestamps instead of 9-digit-nanos strings,
+    binary/decimal typing) — route the STRUCT through the typed encoder."""
+
+    def walk(t: T.DataType) -> bool:
+        if isinstance(t, _TYPED_FIELD_TYPES):
+            return True
+        if isinstance(t, T.ArrayType):
+            return walk(t.elementType)
+        if isinstance(t, T.MapType):
+            return walk(t.keyType) or walk(t.valueType)
+        if isinstance(t, T.StructType):
+            return any(walk(f.dataType) for f in t.fields)
+        return False
+
+    return isinstance(dtype, T.StructType) and any(
+        walk(f.dataType) for f in dtype.fields
+    )
+
+
+def make_typed_bag_udf():
+    """Scalar pandas UDF over a STRUCT column: Arrow hands back typed values
+    (pd.Timestamp/date/bytes/Decimal), so temporals render per the contract
+    formatter instead of Jackson's timestamp string.
+
+    Null handling matches the JSON-string lane (nulls dropped, like
+    to_json); corner: a null DoubleType value arrives from Arrow as NaN and
+    is indistinguishable from a genuine NaN — encoded as the contract's
+    "NaN" string (contract-leaning resolution, documented)."""
+
+    def encode(bag: pd.DataFrame) -> pd.Series:
+        out = []
+        for rec in bag.to_dict("records"):
+            clean = {
+                k: v
+                for k, v in rec.items()
+                if not (v is None or v is pd.NaT)
+            }
+            out.append(dumps(encode_properties(clean)))
+        return pd.Series(out)
+
+    return pandas_udf(encode, StringType())
+
+
 @pandas_udf(StringType())
 def export_json_canon_udf(json_props: pd.Series) -> pd.Series:
     """Re-encode a JSON-object string column per the §1.3 export contract
@@ -114,11 +173,18 @@ def export_props_json_col(df: DataFrame, struct_col: str = "properties") -> Colu
     """Final contract bytes for the record's ``properties`` object.
 
     Simple bags render fully JVM-side (``to_json``; codegen) with hazard rows
-    routed through the contract UDF; non-simple bags always re-canonicalize
-    through the UDF (which normalizes Jackson float formatting to the
-    contract's ``repr`` formatting and applies truncation markers).
+    routed through the contract UDF; bags with temporal/binary/decimal
+    fields go through the TYPED struct encoder (Arrow keeps real
+    datetimes/bytes, so the contract's temporal formats apply); remaining
+    non-simple bags (fractional/nested) re-canonicalize through the
+    JSON-string UDF (normalizes Jackson float formatting, applies
+    truncation markers).  Nulls are dropped in every lane (the union-lane
+    convention, like ``to_json``) — the sink's typed-struct input lane is
+    the one that preserves ``"k":null``.
     """
     dtype = df.schema[struct_col].dataType
+    if _bag_has_typed_fields(dtype):
+        return make_typed_bag_udf()(F.col(struct_col))
     js = F.to_json(struct_col)
     if not bag_is_export_fast(dtype):
         return export_json_canon_udf(js)

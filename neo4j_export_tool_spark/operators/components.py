@@ -78,7 +78,17 @@ def connected_components(
 
     spark = edges.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(1, min(int(old_parts), n_edges // rows_per_loop_partition + 1))
+    try:
+        session_parts = int(old_parts)
+    except (TypeError, ValueError):
+        # non-numeric settings (e.g. "auto" under some AQE vendors): leave
+        # the session conf untouched and skip size adaptation
+        session_parts = None
+    loop_parts = (
+        max(1, min(session_parts, n_edges // rows_per_loop_partition + 1))
+        if session_parts is not None
+        else None
+    )
     tracker = BatchPerformanceTracker(strategy="label_propagation", sample_every=1)
 
     labels = (
@@ -90,7 +100,8 @@ def connected_components(
 
     iterations = 0
     converged = False
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    if loop_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         for i in range(max_iterations):
             _t0 = _time.perf_counter()
@@ -159,7 +170,8 @@ def connected_components(
                 break
 
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if loop_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         sym.unpersist()
     return CCResult(
         components=labels,

@@ -62,6 +62,15 @@ def _shingle_sets(
     ).filter(F.size("shingles") > 0)
 
 
+
+def _materialize(df: DataFrame, use_local_checkpoint: bool) -> DataFrame:
+    """Materialize a subplan reused across join branches.  localCheckpoint
+    is fastest but its blocks die with an executor; ``False`` falls back to
+    a recomputable persist for spot/dynamic-allocation clusters (same knob
+    as `connected_components(use_local_checkpoint=...)`)."""
+    return df.localCheckpoint(eager=False) if use_local_checkpoint else df.persist()
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -69,6 +78,7 @@ def jaccard_pairs(
     threshold_pct: int = 60,
     shingle_n: int = 3,
     max_shingle_df: int | None = None,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard pairs: (doc_a, doc_b, shared, n_a, n_b)
     with 100*shared >= threshold_pct*(n_a+n_b-shared).  Integer-exact.
@@ -85,8 +95,8 @@ def jaccard_pairs(
     re-tokenizing the corpus per branch (~5 evaluations otherwise); the
     blocks free themselves when the plan is garbage-collected.
     """
-    sets = _shingle_sets(df, text_col, id_col, shingle_n).localCheckpoint(
-        eager=False
+    sets = _materialize(
+        _shingle_sets(df, text_col, id_col, shingle_n), use_local_checkpoint
     )
     sizes = sets.select("doc", F.size("shingles").alias("n"))
     posting = sets.select("doc", F.explode("shingles").alias("shingle"))
@@ -124,6 +134,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 32,
     seed: int = 1,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over word shingles, exact-verified.
 
@@ -134,7 +145,8 @@ def minhash_lsh_pairs(
     """
     sets = _shingle_sets(df, text_col, id_col, shingle_n)
     return minhash_lsh_pairs_from_sets(
-        sets, threshold_pct=threshold_pct, k=k, bands=bands, seed=seed
+        sets, threshold_pct=threshold_pct, k=k, bands=bands, seed=seed,
+        use_local_checkpoint=use_local_checkpoint,
     )
 
 
@@ -144,6 +156,7 @@ def minhash_lsh_pairs_from_sets(
     k: int = 64,
     bands: int = 32,
     seed: int = 1,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash-LSH over a precomputed (doc, shingles array<string>) table —
     the generic entry used for both document near-dup (word shingles) and
@@ -172,7 +185,7 @@ def minhash_lsh_pairs_from_sets(
 
     # the shingle-set plan feeds the posting list AND both verify joins;
     # materialize it once (blocks freed when the plan is GC'd)
-    sets = sets.localCheckpoint(eager=False)
+    sets = _materialize(sets, use_local_checkpoint)
 
     posting = sets.select(
         "doc", F.explode("shingles").alias("sh")
@@ -207,9 +220,9 @@ def minhash_lsh_pairs_from_sets(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # the band table self-joins: checkpoint so the k-min signature groupBy
+    # the band table self-joins: materialize so the k-min signature groupBy
     # runs once, not once per join side
-    banded = banded.localCheckpoint(eager=False)
+    banded = _materialize(banded, use_local_checkpoint)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -323,6 +336,7 @@ def embedding_neardup_pairs(
     dim: int | None = None,
     strategy: str = "blocked",
     rows_per_block: int = 4096,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """Exact cosine near-dup pairs over ALL vector pairs.
 
@@ -348,18 +362,30 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    dim = dim or _infer_dim(df, vec_col)
     id_type = next(f.dataType.simpleString() for f in df.schema if f.name == id_col)
     n = df.count()
     n_blocks = max(1, math.ceil(n / rows_per_block))
     base = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
+        # match the codegen path's semantics exactly: null vectors and
+        # vectors shorter than the inferred dim produce null terms there
+        # (→ null cosine → filtered); longer vectors are read only up to
+        # dim.  Filter + slice reproduces that: drop short/null, truncate
+        # long.
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dim).alias("v"),
+    ).filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim))
 
     pack_schema = f"blk int, ids array<{id_type}>, mat binary, nrows int, ndim int"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic within-block row order: the block table feeds BOTH
+        # sides of a self-join, and each side re-evaluates the groupBy —
+        # without a canonical order the diagonal-block triu(k=1) dedup
+        # would see different row positions per side (pairs silently
+        # dropped or duplicated under nondeterministic shuffle-fetch order)
+        pdf = pdf.sort_values("id", kind="mergesort")
         mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         return pd.DataFrame(
             {
@@ -371,7 +397,12 @@ def embedding_neardup_pairs(
             }
         )
 
-    blocks = base.groupBy("blk").applyInPandas(pack, schema=pack_schema)
+    # materialize once: feeds both join sides (and the pack groupBy is the
+    # expensive part); blocks free when the plan is GC'd
+    blocks = _materialize(
+        base.groupBy("blk").applyInPandas(pack, schema=pack_schema),
+        use_local_checkpoint,
+    )
     a = blocks.select(
         F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
         F.col("mat").alias("mat_a"), F.col("nrows").alias("n_a"),

@@ -88,9 +88,11 @@ def kb_trigram_idf(kb: DataFrame, kb_name_col: str = "name") -> dict[str, float]
 
     def tri(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[str] = []
+            out: list[str | None] = []
             for name in pdf[kb_name_col]:
                 out.extend(_trigrams(name))  # set per name → document freq
+                out.append(None)  # one sentinel per KB row → N rides the
+                # same job (null never collides with a real trigram)
             yield pd.DataFrame({"t": out}, dtype="object")
 
     counts = (
@@ -100,8 +102,12 @@ def kb_trigram_idf(kb: DataFrame, kb_name_col: str = "name") -> dict[str, float]
         .count()
         .collect()
     )
-    n = kb.count()
-    return {r["t"]: math.log((1 + n) / (1 + r["count"])) + 1.0 for r in counts}
+    n = next((r["count"] for r in counts if r["t"] is None), 0)
+    return {
+        r["t"]: math.log((1 + n) / (1 + r["count"])) + 1.0
+        for r in counts
+        if r["t"] is not None
+    }
 
 
 def tfidf_trigram_cosine(a: str, b: str, idf: Mapping[str, float]) -> float:

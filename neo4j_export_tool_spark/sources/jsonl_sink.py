@@ -95,10 +95,12 @@ def _validated_labels_py(labels: Any) -> list[str] | None:
 
 def _validated_labels_col() -> Column:
     """null / over-long labels → ``_invalid_label``; cap at 100 labels."""
+    from neo4j_export_tool_spark.functions.encoding import MAX_LABEL_LENGTH
+
     checked = F.transform(
         F.col("labels"),
         lambda x: F.when(
-            x.isNull() | (F.length(x) > 1000), F.lit("_invalid_label")
+            x.isNull() | (F.length(x) > MAX_LABEL_LENGTH), F.lit("_invalid_label")
         ).otherwise(x),
     )
     return F.slice(checked, 1, MAX_LABELS_PER_NODE)
@@ -638,19 +640,36 @@ def export_jsonl(
         os.makedirs(out_dir, exist_ok=True)
 
         if single_file:
+            import glob as _glob
+
             # NB: no leading "_"/"." in the scratch dir name — Spark's file
             # index treats those as hidden and the readback would see nothing
             sections_dir = os.path.join(out_dir, f"tmp-sections-{export_id[:8]}")
-            # both sections in ONE write job: a section key puts nodes
-            # before relationships; orderBy range-partitions, so part files
-            # in name order ARE globally ordered
             all_lines = node_out.select(
                 F.lit(0).alias("sec"), "line"
             ).unionByName(rel_out.select(F.lit(1).alias("sec"), "line"))
-            sort_keys = ["sec", "line"] if sort_lines else ["sec"]
-            all_lines.orderBy(*sort_keys).select("line").write.mode(
-                "overwrite"
-            ).text(sections_dir)
+            if sort_lines:
+                # ONE write job: orderBy(sec, line) range-partitions, so
+                # part files in name order ARE globally ordered
+                all_lines.orderBy("sec", "line").select("line").write.mode(
+                    "overwrite"
+                ).text(sections_dir)
+                part_files = sorted(
+                    _glob.glob(os.path.join(sections_dir, "part-*"))
+                )
+            else:
+                # unsorted: partitionBy keeps full write parallelism per
+                # section (an orderBy on the 2-valued section key would
+                # funnel the export through ~2 tasks); section order is
+                # restored by concatenating sec=0 parts before sec=1
+                all_lines.write.partitionBy("sec").mode("overwrite").text(
+                    sections_dir
+                )
+                part_files = sorted(
+                    _glob.glob(os.path.join(sections_dir, "sec=0", "part-*"))
+                ) + sorted(
+                    _glob.glob(os.path.join(sections_dir, "sec=1", "part-*"))
+                )
             written_paths = [sections_dir]
         else:
             # scale path: executor-written line files per section
@@ -730,7 +749,6 @@ def export_jsonl(
             # the driver bulk-concatenates file streams — constant memory,
             # no per-row Py4J traffic — and atomically renames
             # (reference Export/Core.fs:437-462)
-            import glob
             import shutil
 
             tmp_path = final_path + ".tmp"
@@ -739,7 +757,7 @@ def export_jsonl(
             )
             with open(tmp_path, "w", encoding="utf-8") as f:
                 f.write(dumps(metadata) + "\n")
-                for part in sorted(glob.glob(os.path.join(sections_dir, "part-*"))):
+                for part in part_files:
                     with open(part, encoding="utf-8") as pf:
                         shutil.copyfileobj(pf, f, 1 << 20)
                 for rec in err_records + warn_records:

@@ -269,3 +269,20 @@ def test_stdlib_datetime_uses_reference_format():
     assert encode_value(t) == "14:30:15.123456000+02:00"
     assert encode_value(dt.time(12, 0, 0)) == "12:00:00"
     assert encode_value(dt.date(2024, 1, 15)) == "2024-01-15"
+
+
+def test_tz_aware_time_with_zoneinfo_does_not_crash():
+    """zoneinfo.ZoneInfo on a bare time has no resolvable offset
+    (utcoffset() is None) — encode as LocalTime, never raise."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    out = encode_value(dt.time(14, 30, 15, tzinfo=ZoneInfo("Europe/Berlin")))
+    assert out == "14:30:15"
+
+
+def test_decimal_encodes_as_number():
+    from decimal import Decimal
+
+    assert encode_value(Decimal("3.5")) == 3.5
+    assert dumps(encode_properties({"d": Decimal("1.25")})) == '{"d":1.25}'

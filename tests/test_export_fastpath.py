@@ -206,3 +206,68 @@ def test_bag_fast_detection(spark):
     assert not bag_is_export_fast(with_ts)
     long_key = T.StructType([T.StructField("k" * 1001, T.StringType())])
     assert not bag_is_export_fast(long_key)
+
+
+def test_typed_bag_via_union_lane_matches_contract(spark):
+    """Bags with temporal fields routed through nodes_union must render the
+    contract's temporal format (9-digit nanos), not Jackson's timestamp
+    string (review finding: to_json stringification lost typed semantics)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 2, 29, 12, 30, 45, 123456), b"\x00\x01")],
+        "id string, ts timestamp_ntz, blob binary",
+    )
+    nodes = nodes_union(
+        nodes_from(
+            df,
+            labels=["T"],
+            element_id=F.col("id"),
+            props={"ts": F.col("ts"), "blob": F.col("blob")},
+        )
+    )
+    [row] = nodes.select("properties_json").collect()
+    obj = json.loads(row["properties_json"])
+    assert obj["ts"] == "2024-02-29T12:30:45.123456000"
+    import base64
+
+    assert obj["blob"] == base64.b64encode(b"\x00\x01").decode()
+
+
+def test_duplicate_struct_field_names_not_fast(spark):
+    from pyspark.sql import types as T
+
+    dup = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("k", T.StringType())]
+    )
+    assert not bag_is_export_fast(dup)
+
+
+def test_single_file_unsorted_parallel_write(spark, tmp_path):
+    """sort_lines=False single-file must not funnel through an orderBy on
+    the 2-valued section key; sections still land in order."""
+    from neo4j_export_tool_spark.operators.graph import edges_from
+    from neo4j_export_tool_spark.sources.jsonl_sink import (
+        export_jsonl,
+        with_properties_json,
+    )
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(50)], "k long, t string")
+    nodes = nodes_union(
+        nodes_from(df, labels=["N"], element_id=F.concat(F.lit("n:"), F.col("k")),
+                   props={"t": F.col("t")})
+    )
+    edges = with_properties_json(
+        edges_from(df, rel_type="R", start_element_id=F.concat(F.lit("n:"), F.col("k")),
+                   end_element_id=F.concat(F.lit("n:"), F.col("k")),
+                   props={}).withColumns(
+            {"start_node_content_hash": F.lit("0" * 64),
+             "end_node_content_hash": F.lit("1" * 64)})
+    )
+    res = export_jsonl(nodes, edges, str(tmp_path), db_name="p",
+                       sort_lines=False)
+    lines = open(res.path).read().splitlines()[1:]  # skip metadata line
+    kinds = [json.loads(x)["type"] for x in lines]
+    # nodes strictly before relationships
+    assert kinds == sorted(kinds, key=lambda k: 0 if k == "node" else 1)
+    assert res.node_count == 50 and res.rel_count == 50
