@@ -274,15 +274,25 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
         spark.stop()
 
 
-def _flagship_subprocess(sf_dir, cpus, replicate, input_dir):
-    out = subprocess.run(
-        [sys.executable, __file__, "--single-run", "--flagship-only",
-         "--cpus", str(cpus), "--replicate", str(replicate),
-         "--input-dir", input_dir],
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-        capture_output=True, text=True, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+def _flagship_subprocess(sf_dir, cpus, replicate, input_dir,
+                         timeout_s: int = 900, retries: int = 2):
+    """One measured flagship run in a fresh JVM.  A rare startup deadlock
+    (JVM launch hang in a concurrently-forked subprocess) can leave a run
+    pinned at ~0 CPU forever — bound it with a timeout and retry."""
+    last_err: Exception | None = None
+    for _ in range(retries + 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--single-run", "--flagship-only",
+                 "--cpus", str(cpus), "--replicate", str(replicate),
+                 "--input-dir", input_dir],
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                capture_output=True, text=True, check=True, timeout=timeout_s,
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            last_err = e
+    raise last_err
 
 
 def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 40) -> dict:
@@ -309,10 +319,13 @@ def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 40) -> dict:
 
     n_small = high // low
     with _fut.ThreadPoolExecutor(max_workers=n_small) as pool:
-        futs = [
-            pool.submit(_flagship_subprocess, sf_dir, low, replicate, input_dir)
-            for _ in range(n_small)
-        ]
+        futs = []
+        for _ in range(n_small):
+            futs.append(
+                pool.submit(_flagship_subprocess, sf_dir, low, replicate, input_dir)
+            )
+            time.sleep(3)  # stagger JVM launches (simultaneous cold starts
+            # have deadlocked one launcher in this sandbox)
         small = [f.result() for f in futs]
     big = _flagship_subprocess(sf_dir, high, replicate, input_dir)
 
