@@ -118,22 +118,62 @@ def hyperplane_lsh_pairs(
     Each table buckets on an independent sign pattern; candidates = pairs
     sharing a bucket in ANY table (union), verified with the exact cosine.
     Shuffle key is (table, bucket) — uniform for centered data.
+
+    Plan shape: ALL tables' bucket ids plus the squared norm are computed
+    in ONE pass over the vectors and localCheckpoint'd — each table's
+    self-join (two sides) and the verify joins would otherwise re-evaluate
+    the n_tables×n_planes×dim unrolled sign expressions per branch.  The
+    verify cosine is the fixed-dim unrolled codegen form (the dim-less HOF
+    ``aggregate`` falls back to interpreted eval, ~10× slower in joins).
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cand = None
+    from neo4j_export_tool_spark.functions.similarity import norm_sq_col
+
+    sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     for t in range(n_tables):
-        bucketed = hyperplane_signature(base, "v", n_planes, dim, seed=7 + t)
-        a = bucketed.select(F.col("id").alias("id_a"), F.col("bucket"))
-        b = bucketed.select(F.col("id").alias("id_b"), F.col("bucket"))
-        pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+        sig = hyperplane_signature(sig, "v", n_planes, dim, seed=7 + t)
+        sig = sig.withColumnRenamed("bucket", f"bucket_{t}")
+    sig = sig.withColumn("nsq", norm_sq_col(F.col("v"), dim)).localCheckpoint(
+        eager=False
+    )
+
+    # one (table, bucket) posting per row per table → ONE self-join on the
+    # composite key instead of n_tables joins + union
+    posting = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bk")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    a = posting.select(F.col("id").alias("id_a"), "t", "bk")
+    b = posting.select(F.col("id").alias("id_b"), "t", "bk")
+    cand = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    side = sig.select("id", "v", "nsq")
     verified = (
-        cand.join(base.withColumnsRenamed({"id": "id_a", "v": "v_a"}), "id_a")
-        .join(base.withColumnsRenamed({"id": "id_b", "v": "v_b"}), "id_b")
-        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        cand.join(
+            side.withColumnsRenamed({"id": "id_a", "v": "v_a", "nsq": "nsq_a"}),
+            "id_a",
+        )
+        .join(
+            side.withColumnsRenamed({"id": "id_b", "v": "v_b", "nsq": "nsq_b"}),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            dot_col(F.col("v_a"), F.col("v_b"), dim)
+            / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
+        )
         .filter(F.col("cosine") >= min_cosine)
     )
     return verified.select("id_a", "id_b", "cosine")
