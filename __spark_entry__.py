@@ -481,6 +481,80 @@ def _q30_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q31_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode round-trip: deterministic P6 PPM payloads built
+    per doc (pixel RGB derived from doc_id), decoded back via the
+    Arrow-batched PPM codec — oracle is the closed form of the same
+    arithmetic."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from neo4j_export_tool_spark.operators.multimodal import (
+        encode_ppm,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rgb = bytes([d % 251, (d * 7) % 251, (d * 13) % 251])
+                mids.append(str(d))
+                payloads.append(encode_ppm(2, 2, rgb * 4))
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    return (
+        extract_image_features(media)
+        .select(
+            F.col("media_id").cast("long").alias("doc_id"),
+            "width", "height", "mean_r", "mean_g", "mean_b",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q32_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode round-trip: deterministic 16-bit PCM WAV payloads
+    per doc (stdlib wave), decoded back through the Arrow-batched codec."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from neo4j_export_tool_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 800 * (d % 5 + 1)
+                mids.append(str(d))
+                payloads.append(
+                    encode_wav([d % 100] * n, sample_rate=8000)
+                )
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    return (
+        extract_audio_features(media, sample_every=1000)
+        .select(
+            F.col("media_id").cast("long").alias("doc_id"),
+            "sample_rate", "n_channels", "n_frames", "duration_ms",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -513,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_entity_linking": _q28_entity_linking,
         "q29_canonicalize_surfaces": _q29_canonicalize_surfaces,
         "q30_rollup_stats": _q30_rollup_stats,
+        "q31_image_decode": _q31_image_decode,
+        "q32_audio_decode": _q32_audio_decode,
     }
 
 
@@ -853,6 +929,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
             ORDER BY lang NULLS FIRST, source NULLS FIRST
+        """,
+        # q31/q32: the engine round-trips deterministic PPM/WAV payloads
+        # through real Arrow-batched decoders; the oracle is the closed
+        # form of the payload-generation arithmetic
+        "q31_image_decode": """
+            SELECT doc_id,
+                   2::INT AS width, 2::INT AS height,
+                   (doc_id % 251)::INT AS mean_r,
+                   ((doc_id * 7) % 251)::INT AS mean_g,
+                   ((doc_id * 13) % 251)::INT AS mean_b
+            FROM documents ORDER BY doc_id
+        """,
+        "q32_audio_decode": """
+            SELECT doc_id,
+                   8000::INT AS sample_rate, 1::INT AS n_channels,
+                   (800 * (doc_id % 5 + 1))::INT AS n_frames,
+                   (100 * (doc_id % 5 + 1))::INT AS duration_ms
+            FROM documents ORDER BY doc_id
         """,
         # q27_ann_lsh_pairs / q28_entity_linking: approximate / pandas-UDF
         # scored — intentionally rows-only (driver records the weaker check).

@@ -2,11 +2,19 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` UDFs.  The actual codecs (PIL/ffmpeg/librosa)
-are NOT in this container — the decode step is STUBBED behind
-``require_codec`` (clearly-marked NotImplementedError) with a deterministic
-fake used by tests, while the Spark-side plumbing (schema, batch iteration,
-partition sizing) is real and exercised.
+Arrow-batched ``mapInPandas`` UDFs.
+
+Two codec tiers:
+
+- REAL stdlib decoders for simple formats: binary PPM (P6) images —
+  parse / mean-RGB / nearest-neighbor resize — and RIFF WAV audio (stdlib
+  ``wave``) — sample rate / channels / duration / every-Nth frame
+  sampling.  These exercise the full decode→feature→re-encode dataflow
+  end-to-end with zero external dependencies.
+- PIL/ffmpeg/librosa-class formats (JPEG/MP4/…) are NOT decodable in this
+  container — that step is STUBBED behind ``require_codec``
+  (clearly-marked NotImplementedError); the Spark-side plumbing is the
+  same as the real tiers.
 
 Scale notes: binary batches are large — ``spark.sql.execution.arrow.
 maxRecordsPerBatch`` bounds Arrow batch memory, and media tables should be
@@ -17,6 +25,9 @@ payload, not O(1 GB).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,6 +64,184 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     not pixels): derived from payload length."""
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib codecs: binary PPM (P6) images, RIFF WAV audio
+# ---------------------------------------------------------------------------
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255).  ``pixels``: width*height*3 RGB bytes."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) → (width, height, rgb_bytes)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: magic, width, height, maxval — whitespace-separated, then one
+    # whitespace byte before pixel data (comments unsupported: synthetic)
+    parts: list[int] = []
+    i = 2
+    while len(parts) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    pixels = payload[i : i + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated pixel data")
+    return width, height, pixels
+
+
+def ppm_mean_rgb(payload: bytes) -> tuple[int, int, int]:
+    """Integer mean per channel (floor) — exact, engine-portable."""
+    w, h, px = decode_ppm(payload)
+    n = w * h
+    sums = [0, 0, 0]
+    for i in range(0, len(px), 3):
+        sums[0] += px[i]
+        sums[1] += px[i + 1]
+        sums[2] += px[i + 2]
+    return sums[0] // n, sums[1] // n, sums[2] // n
+
+
+def resize_ppm(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resize → a valid P6 payload."""
+    w, h, px = decode_ppm(payload)
+    out = bytearray()
+    for y in range(new_h):
+        sy = y * h // new_h
+        row = sy * w * 3
+        for x in range(new_w):
+            sx = x * w // new_w
+            o = row + sx * 3
+            out += px[o : o + 3]
+    return encode_ppm(new_w, new_h, bytes(out))
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """16-bit PCM RIFF WAV from integer samples (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, n_channels, n_frames, duration_ms) via stdlib wave."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, channels, frames = w.getframerate(), w.getnchannels(), w.getnframes()
+    return rate, channels, frames, (frames * 1000) // max(rate, 1)
+
+
+def sample_wav_frames(payload: bytes, every_n: int) -> list[int]:
+    """Every-Nth 16-bit sample of channel 0 — the frame-sampling analog."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        channels = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    step = 2 * channels
+    all_samples = [
+        struct.unpack_from("<h", raw, i)[0] for i in range(0, len(raw), step)
+    ]
+    return all_samples[::every_n]
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id string, width int, height int, mean_r int, mean_g int, mean_b int"
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL decode for P6 PPM payloads: dimensions + integer mean RGB.
+    Non-PPM payloads yield nulls (decode failure is data, not a crash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    w, h, _ = decode_ppm(raw)
+                    r, g, b = ppm_mean_rgb(raw)
+                    rows.append((mid, w, h, r, g, b))
+                except Exception:
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, sample_rate int, n_channels int, n_frames int, "
+    "duration_ms int, sampled_head array<int>"
+)
+
+
+def extract_audio_features(media: DataFrame, sample_every: int = 1000) -> DataFrame:
+    """REAL decode for RIFF WAV payloads: format fields + every-Nth frame
+    sample head (first 8)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    rate, ch, frames, ms = decode_wav(raw)
+                    head = sample_wav_frames(raw, sample_every)[:8]
+                    rows.append((mid, rate, ch, frames, ms, head))
+                except Exception:
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "duration_ms", "sampled_head",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """Nearest-neighbor resize of P6 PPM payloads → (media_id, payload)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, outs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    outs.append(resize_ppm(bytes(payload), new_w, new_h))
+                except Exception:
+                    outs.append(None)
+                mids.append(mid)
+            yield pd.DataFrame({"media_id": mids, "payload": outs})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id string, payload binary"
+    )
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:

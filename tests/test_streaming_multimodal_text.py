@@ -210,3 +210,56 @@ def test_quality_metrics_and_fingerprint(spark):
     assert by_id[1]["fp"] == by_id[2]["fp"]  # identical text → identical fp
     assert by_id[1]["fp"] != by_id[3]["fp"]
     assert 0 <= by_id[1]["fp"] < 1_000_000_007
+
+
+def test_real_ppm_decode_features_and_resize(spark):
+    """REAL image decode end-to-end: P6 PPM payloads through Arrow batches —
+    exact dims + mean RGB, and decode(resize(x)) round-trips."""
+    from neo4j_export_tool_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        extract_image_features,
+        resize_images,
+    )
+
+    def img(w, h, rgb):
+        return encode_ppm(w, h, bytes(rgb) * (w * h))
+
+    rows = [
+        ("i1", img(4, 2, [10, 20, 30])),
+        ("i2", img(3, 3, [255, 0, 128])),
+        ("bad", b"not a ppm"),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert (feats["i1"]["width"], feats["i1"]["height"]) == (4, 2)
+    assert (feats["i1"]["mean_r"], feats["i1"]["mean_g"], feats["i1"]["mean_b"]) == (10, 20, 30)
+    assert (feats["i2"]["mean_r"], feats["i2"]["mean_g"], feats["i2"]["mean_b"]) == (255, 0, 128)
+    assert feats["bad"]["width"] is None  # decode failure is data
+
+    resized = {r["media_id"]: r["payload"] for r in
+               resize_images(media, 2, 1).collect()}
+    w, h, px = decode_ppm(bytes(resized["i1"]))
+    assert (w, h) == (2, 1) and bytes(px) == bytes([10, 20, 30] * 2)
+    assert resized["bad"] is None
+
+
+def test_real_wav_decode_and_frame_sampling(spark):
+    """REAL audio decode end-to-end: RIFF WAV via stdlib wave — format
+    fields, duration, every-Nth frame sampling."""
+    from neo4j_export_tool_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    samples = [(i % 100) - 50 for i in range(8000)]  # 1s at 8kHz
+    rows = [("a1", encode_wav(samples, sample_rate=8000)),
+            ("bad", b"\x00\x01")]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    feats = {r["media_id"]: r for r in
+             extract_audio_features(media, sample_every=1000).collect()}
+    a1 = feats["a1"]
+    assert (a1["sample_rate"], a1["n_channels"], a1["n_frames"]) == (8000, 1, 8000)
+    assert a1["duration_ms"] == 1000
+    assert list(a1["sampled_head"]) == [samples[i] for i in range(0, 8000, 1000)]
+    assert feats["bad"]["sample_rate"] is None
