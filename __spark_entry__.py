@@ -555,6 +555,62 @@ def _q32_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q33_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew machinery, SURVEY §4.2): the
+    salted count/sum must equal the plain group-by exactly — integer math,
+    so bit-stable regardless of salt partitioning."""
+    from neo4j_export_tool_spark.functions.salting import salted_count, salted_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = ["lang", "source"]
+    counts = salted_count(docs, keys, salt_buckets=16)
+    sums = salted_sum(
+        docs, keys, F.col("n_chars").cast("long"), salt_buckets=16
+    )
+    return (
+        counts.join(sums, keys)
+        .select("lang", "source", "n", "total")
+        .orderBy("lang", "source")
+    )
+
+
+def _q34_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run (availableNow drain of the events table
+    through the watermarked tumbling-window aggregation, memory sink,
+    complete mode) — the final result must equal the batch q26 oracle."""
+    import uuid as _uuid
+
+    from neo4j_export_tool_spark.streaming.events import (
+        stream_events,
+        windowed_event_stats,
+    )
+
+    import os as _os
+    import tempfile as _tf
+
+    _ensure_shipped(spark)
+    sink = f"q34_sink_{_uuid.uuid4().hex[:8]}"
+    # the file stream source requires a DIRECTORY; expose the single
+    # events.parquet file through a scratch dir symlink
+    stream_dir = _tf.mkdtemp(prefix="q34-events-")
+    _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stream_dir, "events.parquet"))
+    stats = windowed_event_stats(stream_events(spark, stream_dir))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value_c",
+    ).orderBy("window_start", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -589,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_rollup_stats": _q30_rollup_stats,
         "q31_image_decode": _q31_image_decode,
         "q32_audio_decode": _q32_audio_decode,
+        "q33_salted_rollup": _q33_salted_rollup,
+        "q34_streaming_windows": _q34_streaming_windows,
     }
 
 
@@ -947,6 +1005,21 @@ def oracle_sql() -> dict[str, str]:
                    (800 * (doc_id % 5 + 1))::INT AS n_frames,
                    (100 * (doc_id % 5 + 1))::INT AS duration_ms
             FROM documents ORDER BY doc_id
+        """,
+        # salted two-phase agg must equal the plain group-by exactly
+        "q33_salted_rollup": """
+            SELECT lang, source, count(*) AS n,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total
+            FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        # the availableNow streaming drain must converge to the batch answer
+        "q34_streaming_windows": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_value_c
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # q27_ann_lsh_pairs / q28_entity_linking: approximate / pandas-UDF
         # scored — intentionally rows-only (driver records the weaker check).
