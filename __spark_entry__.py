@@ -557,18 +557,17 @@ def _q32_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q33_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew machinery, SURVEY §4.2): the
-    salted count/sum must equal the plain group-by exactly — integer math,
-    so bit-stable regardless of salt partitioning."""
-    from neo4j_export_tool_spark.functions.salting import salted_count, salted_sum
+    salted count+sum must equal the plain group-by exactly — integer math,
+    so bit-stable regardless of salt partitioning; single pass, so NULL
+    group keys survive like a plain GROUP BY."""
+    from neo4j_export_tool_spark.functions.salting import salted_count_sum
 
     docs = _t(spark, sf_dir, "documents")
-    keys = ["lang", "source"]
-    counts = salted_count(docs, keys, salt_buckets=16)
-    sums = salted_sum(
-        docs, keys, F.col("n_chars").cast("long"), salt_buckets=16
-    )
     return (
-        counts.join(sums, keys)
+        salted_count_sum(
+            docs, ["lang", "source"], F.col("n_chars").cast("long"),
+            salt_buckets=16,
+        )
         .select("lang", "source", "n", "total")
         .orderBy("lang", "source")
     )
@@ -586,7 +585,10 @@ def _q34_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     import os as _os
+    import shutil as _shutil
     import tempfile as _tf
+
+    from neo4j_export_tool_spark.streaming.events import run_stream_to_memory
 
     _ensure_shipped(spark)
     sink = f"q34_sink_{_uuid.uuid4().hex[:8]}"
@@ -594,21 +596,27 @@ def _q34_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.parquet file through a scratch dir symlink
     stream_dir = _tf.mkdtemp(prefix="q34-events-")
     _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stream_dir, "events.parquet"))
-    stats = windowed_event_stats(stream_events(spark, stream_dir))
-    q = (
-        stats.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-        "sum_value_c",
-    ).orderBy("window_start", "event_type")
+    try:
+        stats = windowed_event_stats(stream_events(spark, stream_dir))
+        result = (
+            run_stream_to_memory(spark, stats, sink)
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "sum_value_c",
+            )
+            .orderBy("window_start", "event_type")
+            # materialize so the memory sink + scratch dir can be released
+            # before the caller collects
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(stream_dir, ignore_errors=True)
+    spark.catalog.dropTempView(sink)
+    return result
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -275,12 +275,18 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
 
 
 def _flagship_subprocess(sf_dir, cpus, replicate, input_dir,
-                         timeout_s: int = 900, retries: int = 2):
+                         timeout_s: int = 900, retries: int = 1):
     """One measured flagship run in a fresh JVM.  A rare startup deadlock
     (JVM launch hang in a concurrently-forked subprocess) can leave a run
-    pinned at ~0 CPU forever — bound it with a timeout and retry."""
-    last_err: Exception | None = None
-    for _ in range(retries + 1):
+    pinned at ~0 CPU forever — bound it with a timeout.
+
+    Retry policy: TIMEOUT only (the deadlock case), never real failures,
+    and the result is flagged ``retried`` — a retried small-job run
+    executes after its concurrent peers finished (idle machine, higher
+    turbo), so run_scaling must not silently fold it into a load-matched
+    aggregate."""
+    attempts = 0
+    while True:
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--single-run", "--flagship-only",
@@ -289,10 +295,13 @@ def _flagship_subprocess(sf_dir, cpus, replicate, input_dir,
                 env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
                 capture_output=True, text=True, check=True, timeout=timeout_s,
             )
-            return json.loads(out.stdout.strip().splitlines()[-1])
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-            last_err = e
-    raise last_err
+            res = json.loads(out.stdout.strip().splitlines()[-1])
+            res["retried"] = attempts
+            return res
+        except subprocess.TimeoutExpired:
+            attempts += 1
+            if attempts > retries:
+                raise
 
 
 def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 40) -> dict:
@@ -333,6 +342,9 @@ def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 40) -> dict:
     thr_low_aggregate = round(sum(thr_small_each), 1)
     thr_high = big["flagship_triples_per_sec"]
     eff = thr_high / thr_low_aggregate
+    # a retried small job ran after its peers (idle machine) — its number
+    # is not load-matched, so the study must be re-run, not published
+    load_matched = all(s.get("retried", 0) == 0 for s in small)
     return {
         "sf": sf_dir,
         "method": "load-matched: %d concurrent local[%d] vs 1 local[%d]"
@@ -343,6 +355,7 @@ def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 40) -> dict:
         "throughput_low": thr_low_aggregate,
         "throughput_high": thr_high,
         "scaling_efficiency": round(eff, 3),
+        "load_matched_valid": load_matched,
         "detail": {"small": small, "big": big},
     }
 

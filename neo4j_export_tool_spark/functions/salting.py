@@ -42,3 +42,18 @@ def salted_sum(
     salted = with_salt(df.withColumn("_v", value), salt_buckets)
     partial = salted.groupBy(*keys, "_salt").agg(F.sum("_v").alias("_s"))
     return partial.groupBy(*keys).agg(F.sum("_s").alias("total"))
+
+
+def salted_count_sum(
+    df: DataFrame, keys: list[str], value: Column, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase skew-proof count AND sum per key group in ONE pass:
+    returns keys + ``n`` + ``total``.  Single groupBy chain — no key join,
+    so NULL group keys survive exactly as a plain GROUP BY keeps them."""
+    salted = with_salt(df.withColumn("_v", value), salt_buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_n").alias("n"), F.sum("_s").alias("total")
+    )

@@ -111,7 +111,7 @@ def hyperplane_lsh_pairs(
     min_cosine: float = 0.95,
     n_planes: int = 8,
     n_tables: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via multi-table hyperplane LSH + exact verify.
 
@@ -127,7 +127,9 @@ def hyperplane_lsh_pairs(
     ``aggregate`` falls back to interpreted eval, ~10× slower in joins).
     """
     from neo4j_export_tool_spark.functions.similarity import norm_sq_col
+    from neo4j_export_tool_spark.operators.dedup import _infer_dim
 
+    dim = dim or _infer_dim(df, vec_col)
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     for t in range(n_tables):
         sig = hyperplane_signature(sig, "v", n_planes, dim, seed=7 + t)

@@ -82,15 +82,18 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     # header: magic, width, height, maxval — whitespace-separated, then one
-    # whitespace byte before pixel data (comments unsupported: synthetic)
+    # whitespace byte before pixel data (comments unsupported: synthetic).
+    # Every scan is bounded: a truncated header must raise, not spin.
     parts: list[int] = []
-    i = 2
+    i, end = 2, len(payload)
     while len(parts) < 3:
-        while payload[i : i + 1].isspace():
+        while i < end and payload[i : i + 1].isspace():
             i += 1
         j = i
-        while not payload[j : j + 1].isspace():
+        while j < end and not payload[j : j + 1].isspace():
             j += 1
+        if i == j or j >= end:
+            raise ValueError("truncated PPM header")
         parts.append(int(payload[i:j]))
         i = j
     i += 1  # single whitespace after maxval
@@ -104,15 +107,11 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def ppm_mean_rgb(payload: bytes) -> tuple[int, int, int]:
-    """Integer mean per channel (floor) — exact, engine-portable."""
+    """Integer mean per channel (floor) — exact, engine-portable.
+    C-speed byte-slice sums, not a per-pixel Python loop."""
     w, h, px = decode_ppm(payload)
     n = w * h
-    sums = [0, 0, 0]
-    for i in range(0, len(px), 3):
-        sums[0] += px[i]
-        sums[1] += px[i + 1]
-        sums[2] += px[i + 2]
-    return sums[0] // n, sums[1] // n, sums[2] // n
+    return sum(px[0::3]) // n, sum(px[1::3]) // n, sum(px[2::3]) // n
 
 
 def resize_ppm(payload: bytes, new_w: int, new_h: int) -> bytes:
@@ -138,7 +137,8 @@ def encode_wav(
         w.setnchannels(n_channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        # one C-level pack for the whole buffer, not a per-sample loop
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     return buf.getvalue()
 
 
@@ -154,11 +154,12 @@ def sample_wav_frames(payload: bytes, every_n: int) -> list[int]:
     with wave.open(io.BytesIO(payload), "rb") as w:
         channels = w.getnchannels()
         raw = w.readframes(w.getnframes())
-    step = 2 * channels
-    all_samples = [
+    # decode channel 0 only, every_n frames apart, straight from offsets —
+    # no full-buffer Python unpack
+    step = 2 * channels * every_n
+    return [
         struct.unpack_from("<h", raw, i)[0] for i in range(0, len(raw), step)
     ]
-    return all_samples[::every_n]
 
 
 IMAGE_FEATURES_SCHEMA = (
