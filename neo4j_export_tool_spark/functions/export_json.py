@@ -159,7 +159,13 @@ def export_json_canon_udf(json_props: pd.Series) -> pd.Series:
     kernel), Arrow-vectorized."""
 
     def canon(s: str | None) -> str | None:
-        if s is None or s == "":
+        if s is None:
+            # null-gated input: the caller feeds NULL for rows that do not
+            # need Python (Catalyst hoists pandas UDFs out of CASE WHEN and
+            # evaluates them on EVERY row — gating the INPUT keeps the
+            # per-row Python work at a None check)
+            return None
+        if s == "":
             return "{}"
         obj = json.loads(s)
         if not isinstance(obj, dict):
@@ -199,4 +205,8 @@ def export_props_json_col(df: DataFrame, struct_col: str = "properties") -> Colu
     safe = F.coalesce(js, F.lit("{}"))
     if not str_cols:
         return safe
-    return F.when(hazard, export_json_canon_udf(js)).otherwise(safe)
+    # NB: Catalyst hoists pandas UDFs out of CASE WHEN into an
+    # ArrowEvalPython node that runs on EVERY row — so gate the INPUT:
+    # safe rows feed NULL (the UDF returns None at a None-check's cost)
+    # and coalesce falls back to the JVM bytes
+    return F.coalesce(export_json_canon_udf(F.when(hazard, js)), safe)

@@ -66,3 +66,34 @@ def test_unrolled_dot_in_codegen(spark, sf_dir):
     # the fixed-dim expression compiles; no interpreted 'aggregate(' HOF in
     # the pair-join projection
     assert "aggregate(" not in plan.lower().split("broadcastnestedloopjoin")[-1][:2000]
+
+
+def test_export_fast_lane_is_jvm_side(spark, sf_dir):
+    """Simple-bag JSONL serialization must not evaluate Python per row: the
+    only Python node in the plan is the coalesced hazard-lane mapInPandas
+    (plus the upstream mention detection); no scalar ArrowEvalPython."""
+    from neo4j_export_tool_spark.plans.flagship import documents_kg
+    from neo4j_export_tool_spark.sources.jsonl_sink import (
+        _serialize_nodes,
+        with_properties_json,
+    )
+
+    nodes, hashed = documents_kg(spark, sf_dir)
+    lines = _serialize_nodes(
+        nodes.select("element_id", "labels", "properties_json", "content_hash"),
+        "EXP",
+        hashed_ids=True,
+    )
+    plan = plan_of(lines)
+    # exactly one iterator-Python stage: the coalesced hazard fallback lane
+    # (the remaining ArrowEvalPython is the NULL-GATED contract UDF — safe
+    # rows feed None, so per-row Python work is a None check)
+    # ("MapInPandas (" is the tree form; formatted explain also repeats the
+    # node name in the details section)
+    assert plan.count("MapInPandas (") == 1
+    # never row-at-a-time Python
+    assert "BatchEvalPython" not in plan
+
+    edges = with_properties_json(hashed)
+    eplan = plan_of(edges)
+    assert "BatchEvalPython" not in eplan
