@@ -53,3 +53,27 @@ def test_colocated_join_elides_shuffle(spark, graph_tables):
         assert unresolved == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_iceberg_path_probed_and_ddl_spec(spark):
+    """No Iceberg jar in this container: the probe must say so, the writeTo
+    path must refuse with a pointer to the parquet twin, and the emitted
+    production DDL must carry the same layout contract (bucket transform on
+    the join key, label identity partition)."""
+    from neo4j_export_tool_spark.sources.tables import (
+        iceberg_available,
+        iceberg_graph_ddl,
+        save_graph_tables_iceberg,
+    )
+
+    assert iceberg_available(spark) is False
+    ddl = iceberg_graph_ddl(prefix="kg", n_buckets=16)
+    assert "USING iceberg" in ddl["kg_nodes"]
+    assert "bucket(16, element_id)" in ddl["kg_nodes"]
+    assert "PARTITIONED BY (label, bucket(16, start_element_id))" in ddl["kg_edges"]
+
+    import pytest as _pytest
+
+    df = spark.range(1).selectExpr("cast(id as string) element_id")
+    with _pytest.raises(NotImplementedError, match="Iceberg runtime"):
+        save_graph_tables_iceberg(spark, df, df)
