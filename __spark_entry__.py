@@ -595,7 +595,12 @@ def _q34_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source requires a DIRECTORY; expose the single
     # events.parquet file through a scratch dir symlink
     stream_dir = _tf.mkdtemp(prefix="q34-events-")
-    _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stream_dir, "events.parquet"))
+    # abspath: a relative sf_dir would make the link target resolve
+    # relative to the scratch dir → dangling symlink, empty stream
+    _os.symlink(
+        _os.path.abspath(f"{sf_dir}/events.parquet"),
+        _os.path.join(stream_dir, "events.parquet"),
+    )
     try:
         stats = windowed_event_stats(stream_events(spark, stream_dir))
         result = (

@@ -430,10 +430,16 @@ def _path_sequence(node_count: int, rel_count: int) -> list[dict[str, Any]]:
     return out
 
 
-def _encode_path(path: Path) -> dict[str, Any]:
+def _encode_path(path: Path, depth: int = 0) -> dict[str, Any]:
     """Path value with Full/Compact/IdsOnly levels (``Path.fs:161-210``;
-    thresholds ``Core/Constants.fs:180-182``).  Node/rel property bags in
-    Full mode encode at depth zero, exactly like the reference."""
+    thresholds ``Core/Constants.fs:180-182``).
+
+    Deviation from the reference's zero-reset (``serializePathFull`` passes
+    ``SerializationDepth.zero``): property bags encode at ``depth + 1`` so
+    a cyclic Python object graph (Path → node properties → Path…, which
+    cannot occur with acyclic driver records but can with hand-built
+    values) terminates at the depth-limit marker instead of recursing
+    unboundedly."""
     n = len(path.nodes)
     if n > MAX_PATH_LENGTH:
         return {"_type": "path", "_error": "path_too_long"}
@@ -453,7 +459,7 @@ def _encode_path(path: Path) -> dict[str, Any]:
             {
                 "element_id": nd.element_id,
                 "labels": list(nd.labels),
-                "properties": _encode_bag(nd.properties, 0),
+                "properties": _encode_bag(nd.properties, depth + 1),
             }
             for nd in path.nodes
         ]
@@ -463,7 +469,7 @@ def _encode_path(path: Path) -> dict[str, Any]:
                 "type": r.type,
                 "start_element_id": r.start_element_id,
                 "end_element_id": r.end_element_id,
-                "properties": _encode_bag(r.properties, 0),
+                "properties": _encode_bag(r.properties, depth + 1),
             }
             for r in path.relationships
         ]
@@ -541,7 +547,7 @@ def encode_value(value: Any, depth: int = 0) -> Any:
     if isinstance(value, Relationship):
         return _encode_relationship(value, depth)
     if isinstance(value, Path):
-        return _encode_path(value)
+        return _encode_path(value, depth)
     if isinstance(value, Point):
         out: dict[str, Any] = {
             "type": "Point",

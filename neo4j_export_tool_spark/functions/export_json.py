@@ -128,24 +128,45 @@ def _bag_has_typed_fields(dtype: T.DataType) -> bool:
     )
 
 
-def make_typed_bag_udf():
+def make_typed_bag_udf(dtype: T.StructType):
     """Scalar pandas UDF over a STRUCT column: Arrow hands back typed values
     (pd.Timestamp/date/bytes/Decimal), so temporals render per the contract
     formatter instead of Jackson's timestamp string.
 
     Null handling matches the JSON-string lane (nulls dropped, like
-    to_json); corner: a null DoubleType value arrives from Arrow as NaN and
-    is indistinguishable from a genuine NaN — encoded as the contract's
-    "NaN" string (contract-leaning resolution, documented)."""
+    to_json).  Arrow→pandas COERCES integer columns containing nulls to
+    float64, so integral fields are restored from the schema: NaN → drop
+    (it was a null), finite → int (values beyond 2⁵³ would lose precision
+    in that coercion — bags mixing temporals with >2⁵³ longs should use
+    the typed-struct sink lane).  A null DoubleType value arrives as NaN,
+    indistinguishable from a genuine NaN — encoded as the contract's
+    "NaN" string (contract-leaning resolution)."""
+    integral = {
+        f.name
+        for f in dtype.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+    }
+    fractional = {
+        f.name for f in dtype.fields if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
 
     def encode(bag: pd.DataFrame) -> pd.Series:
+        import math as _math
+
         out = []
         for rec in bag.to_dict("records"):
-            clean = {
-                k: v
-                for k, v in rec.items()
-                if not (v is None or v is pd.NaT)
-            }
+            clean = {}
+            for k, v in rec.items():
+                if v is None or v is pd.NaT:
+                    continue
+                if k in integral and isinstance(v, float):
+                    if _math.isnan(v):
+                        continue  # Arrow null coerced to NaN
+                    v = int(v)
+                elif k not in fractional and isinstance(v, float) and _math.isnan(v):
+                    # NaN in a non-float field can only be a coerced null
+                    continue
+                clean[k] = v
             out.append(dumps(encode_properties(clean)))
         return pd.Series(out)
 
@@ -189,8 +210,19 @@ def export_props_json_col(df: DataFrame, struct_col: str = "properties") -> Colu
     the one that preserves ``"k":null``.
     """
     dtype = df.schema[struct_col].dataType
+    if isinstance(dtype, T.StructType):
+        names = [f.name for f in dtype.fields]
+        if len(set(names)) != len(names):
+            # every JSON-string lane (to_json → loads) silently keeps only
+            # the LAST duplicate — explicit failure beats silent data loss;
+            # the contract's key_1 rename applies to runtime MAP keys, not
+            # schema-level duplicate struct fields
+            raise ValueError(
+                f"duplicate struct field names in {struct_col}: {names} — "
+                "rename the fields (duplicate JSON keys would be dropped)"
+            )
     if _bag_has_typed_fields(dtype):
-        return make_typed_bag_udf()(F.col(struct_col))
+        return make_typed_bag_udf(dtype)(F.col(struct_col))
     js = F.to_json(struct_col)
     if not bag_is_export_fast(dtype):
         return export_json_canon_udf(js)

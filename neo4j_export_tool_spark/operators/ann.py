@@ -42,6 +42,13 @@ def brute_force_topk(
     from neo4j_export_tool_spark.operators.dedup import _infer_dim
 
     dim = dim or _infer_dim(items, vec_col)
+    if dim is None:  # empty / all-null items → empty result, not a crash
+        id_type = next(
+            f.dataType.simpleString() for f in items.schema if f.name == id_col
+        )
+        return queries.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, rank int, item_id {id_type}, cosine double"
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -130,6 +137,13 @@ def hyperplane_lsh_pairs(
     from neo4j_export_tool_spark.operators.dedup import _infer_dim
 
     dim = dim or _infer_dim(df, vec_col)
+    if dim is None:  # empty / all-null input → empty result, not a crash
+        id_type = next(
+            f.dataType.simpleString() for f in df.schema if f.name == id_col
+        )
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     for t in range(n_tables):
         sig = hyperplane_signature(sig, "v", n_planes, dim, seed=7 + t)

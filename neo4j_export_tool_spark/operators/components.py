@@ -40,7 +40,7 @@ def connected_components(
     max_iterations: int = 20,
     checkpoint_interval: int = 3,
     use_local_checkpoint: bool = True,
-    rows_per_loop_partition: int = 500_000,
+    rows_per_loop_partition: int | None = 500_000,
 ) -> CCResult:
     """Min-label propagation over an undirected edge list.
 
@@ -84,9 +84,13 @@ def connected_components(
         # non-numeric settings (e.g. "auto" under some AQE vendors): leave
         # the session conf untouched and skip size adaptation
         session_parts = None
+    # NB: the adaptation sets the SESSION-global shuffle.partitions for the
+    # loop's duration (restored in finally).  On a SparkSession running
+    # concurrent queries from other threads, pass
+    # rows_per_loop_partition=None to disable the scoped override.
     loop_parts = (
         max(1, min(session_parts, n_edges // rows_per_loop_partition + 1))
-        if session_parts is not None
+        if session_parts is not None and rows_per_loop_partition is not None
         else None
     )
     tracker = BatchPerformanceTracker(strategy="label_propagation", sample_every=1)

@@ -324,8 +324,14 @@ def simhash_pairs(
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    return int(row["d"]) if row else None
+    """Vector dimension from the first NON-NULL vector; None on empty/
+    all-null input (callers return an empty result then)."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return int(row["d"]) if row is not None else None
 
 
 def embedding_neardup_pairs(

@@ -97,6 +97,7 @@ def kb_trigram_idf(kb: DataFrame, kb_name_col: str = "name") -> dict[str, float]
 
     counts = (
         kb.select(kb_name_col)
+        .filter(F.col(kb_name_col).isNotNull())  # null names carry no signal
         .mapInPandas(tri, schema="t string")
         .groupBy("t")
         .count()

@@ -295,24 +295,32 @@ def _serialize_rels(edges: DataFrame, export_id: str, hashed_ids: bool) -> DataF
     return edges.mapInPandas(run, schema="line string, label string")
 
 
-def _node_label_shares(serialized):
+def _normalized_labels(labels_col: Column) -> Column:
+    """Null/empty label arrays count under ``_unlabeled`` (A2)."""
+    return F.when(
+        labels_col.isNull() | (F.size(labels_col) == 0),
+        F.array(F.lit("_unlabeled")),
+    ).otherwise(labels_col)
+
+
+def _node_shares_from(labels_col: Column, bytes_col: Column, df: DataFrame) -> DataFrame:
     """(kind='node', label, bytes_share): one row per (record, label);
-    multi-label bytes split evenly (A2).  Bytes are UTF-8 on-disk bytes
-    (octet_length + newline), not chars."""
-    bytes_col = (F.octet_length("line") + 1).cast("double")
-    normalized = serialized.select(
-        F.when(
-            F.col("labels").isNull() | (F.size("labels") == 0),
-            F.array(F.lit("_unlabeled")),
-        )
-        .otherwise(F.col("labels"))
-        .alias("labels"),
-        bytes_col.alias("line_bytes"),
+    multi-label bytes split evenly (A2)."""
+    normalized = df.select(
+        _normalized_labels(labels_col).alias("labels"),
+        bytes_col.cast("double").alias("line_bytes"),
     )
     return normalized.select(
         F.lit("node").alias("kind"),
         F.explode("labels").alias("label"),
         (F.col("line_bytes") / F.size("labels")).alias("bytes_share"),
+    )
+
+
+def _node_label_shares(serialized):
+    """Bytes are UTF-8 on-disk bytes (octet_length + newline), not chars."""
+    return _node_shares_from(
+        F.col("labels"), F.octet_length("line") + 1, serialized
     )
 
 
@@ -324,30 +332,37 @@ def _rel_label_shares(serialized):
     )
 
 
+def _shares_agg(shares: DataFrame) -> DataFrame:
+    return shares.groupBy("kind", "label").agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.sum("bytes_share").alias("bytes_written"),
+    )
+
+
+def _fmt_stats_row(r) -> dict[str, Any]:
+    return {
+        "label": r["label"] if r["label"] is not None else "_unlabeled",
+        "record_count": r["record_count"],
+        "bytes_written": int(r["bytes_written"]),
+    }
+
+
+def _split_stats_rows(rows) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    ordered = sorted(
+        rows, key=lambda r: (r["kind"], r["label"] if r["label"] is not None else "")
+    )
+    node_stats = [_fmt_stats_row(r) for r in ordered if r["kind"] == "node"]
+    rel_stats = [
+        _fmt_stats_row(r) for r in ordered if r["kind"] == "relationship"
+    ]
+    return node_stats, rel_stats
+
+
 def _stats_from_shares(
     shares: DataFrame,
 ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
     """(kind, label, bytes_share) rows → per-section stats lists."""
-    rows = (
-        shares.groupBy("kind", "label")
-        .agg(
-            F.count(F.lit(1)).alias("record_count"),
-            F.sum("bytes_share").alias("bytes_written"),
-        )
-        .orderBy("kind", "label")
-        .collect()
-    )
-
-    def fmt(r):
-        return {
-            "label": r["label"] if r["label"] is not None else "_unlabeled",
-            "record_count": r["record_count"],
-            "bytes_written": int(r["bytes_written"]),
-        }
-
-    node_stats = [fmt(r) for r in rows if r["kind"] == "node"]
-    rel_stats = [fmt(r) for r in rows if r["kind"] == "relationship"]
-    return node_stats, rel_stats
+    return _split_stats_rows(_shares_agg(shares).collect())
 
 
 def _section_stats(
@@ -367,7 +382,9 @@ def _stats_from_written(
     computed by reading BACK the written line files in ONE Spark job — a
     cheap JVM scan (get_json_object) instead of caching every serialized
     line just to aggregate it.  Counts the bytes actually on disk, and is
-    immune to re-evaluation (no observed metrics on sorted writes)."""
+    immune to re-evaluation (no observed metrics on sorted writes).
+    Share/normalize semantics come from the same helpers the in-memory
+    stats use (`_node_shares_from`, `_shares_agg`)."""
     raw = spark.read.text(paths)
     base = raw.select(
         F.get_json_object("value", "$.type").alias("kind"),
@@ -375,44 +392,31 @@ def _stats_from_written(
             F.get_json_object("value", "$.labels"), "array<string>"
         ).alias("labels"),
         F.get_json_object("value", "$.label").alias("label"),
-        (F.octet_length("value") + 1).cast("double").alias("line_bytes"),
+        (F.octet_length("value") + 1).alias("line_bytes"),
     )
-    norm = F.when(
-        F.col("labels").isNull() | (F.size("labels") == 0),
-        F.array(F.lit("_unlabeled")),
-    ).otherwise(F.col("labels"))
-    node_shares = (
-        base.filter(F.col("kind") == "node")
-        .withColumn("norm", norm)
-        .select(
-            F.lit("node").alias("kind"),
-            F.explode("norm").alias("label"),
-            (F.col("line_bytes") / F.size("norm")).alias("bytes_share"),
-        )
+    node_shares = _node_shares_from(
+        F.col("labels"), F.col("line_bytes"), base.filter(F.col("kind") == "node")
     )
     rel_shares = base.filter(F.col("kind") == "relationship").select(
         F.lit("relationship").alias("kind"),
         "label",
-        F.col("line_bytes").alias("bytes_share"),
+        F.col("line_bytes").cast("double").alias("bytes_share"),
     )
-    shares_agg = (
-        node_shares.unionByName(rel_shares)
-        .groupBy("kind", "label")
-        .agg(
-            F.count(F.lit(1)).alias("record_count"),
-            F.sum("bytes_share").alias("bytes_written"),
-        )
-        .select(
-            F.lit("stats").alias("row_kind"), "kind", "label",
-            "record_count", "bytes_written", F.lit(None).alias("invalid"),
-        )
+    stats_rows = _shares_agg(node_shares.unionByName(rel_shares)).select(
+        F.lit("stats").alias("row_kind"), "kind", "label",
+        "record_count", "bytes_written", F.lit(None).alias("invalid"),
     )
     kind_agg = (
         base.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("record_count"),
             F.sum(
-                F.size(F.filter(norm, lambda x: x == "_invalid_label"))
+                F.size(
+                    F.filter(
+                        _normalized_labels(F.col("labels")),
+                        lambda x: x == "_invalid_label",
+                    )
+                )
             ).alias("invalid"),
         )
         .select(
@@ -422,21 +426,10 @@ def _stats_from_written(
             "invalid",
         )
     )
-    rows = shares_agg.unionByName(kind_agg).collect()
-
-    def fmt(r):
-        return {
-            "label": r["label"] if r["label"] is not None else "_unlabeled",
-            "record_count": r["record_count"],
-            "bytes_written": int(r["bytes_written"]),
-        }
-
-    stats = sorted(
-        (r for r in rows if r["row_kind"] == "stats"),
-        key=lambda r: (r["kind"], r["label"] if r["label"] is not None else ""),
+    rows = stats_rows.unionByName(kind_agg).collect()
+    node_stats, rel_stats = _split_stats_rows(
+        [r for r in rows if r["row_kind"] == "stats"]
     )
-    node_stats = [fmt(r) for r in stats if r["kind"] == "node"]
-    rel_stats = [fmt(r) for r in stats if r["kind"] == "relationship"]
     meta = {"node_count": 0, "rel_count": 0, "invalid_labels": 0}
     for r in rows:
         if r["row_kind"] == "counts":

@@ -205,3 +205,28 @@ def test_link_score_deterministic_across_hash_seeds():
         for seed in ("0", "1", "42")
     }
     assert len(outs) == 1, f"score varies with hash seed: {outs}"
+
+
+def test_ann_empty_and_null_inputs(spark):
+    """Empty / all-null vector inputs return empty results, not crashes
+    (review finding: dim inference from first row)."""
+    from neo4j_export_tool_spark.operators.ann import (
+        brute_force_topk,
+        hyperplane_lsh_pairs,
+    )
+    from neo4j_export_tool_spark.operators.linking import kb_trigram_idf
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert hyperplane_lsh_pairs(empty, "embedding", "vec_id").count() == 0
+    assert brute_force_topk(empty, empty, "embedding", "vec_id").count() == 0
+    withnull = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert hyperplane_lsh_pairs(withnull, "embedding", "vec_id").count() == 0
+
+    # null KB names carry no signal and must not crash the IDF job
+    kb = spark.createDataFrame(
+        [("k1", "Acme"), ("k2", None)], "kb_id string, name string"
+    )
+    idf = kb_trigram_idf(kb)
+    assert idf and all(v > 0 for v in idf.values())

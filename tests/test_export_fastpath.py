@@ -271,3 +271,32 @@ def test_single_file_unsorted_parallel_write(spark, tmp_path):
     # nodes strictly before relationships
     assert kinds == sorted(kinds, key=lambda k: 0 if k == "node" else 1)
     assert res.node_count == 50 and res.rel_count == 50
+
+
+def test_typed_bag_int_column_with_nulls_stays_integral(spark):
+    """Arrow→pandas coerces int64 columns with nulls to float64; the typed
+    lane must restore ints and drop coerced-null NaNs (review finding:
+    {'n':5.0} / {'n':'NaN'} corruption)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 5), ("b", dt.datetime(2024, 1, 2), None)],
+        "id string, ts timestamp_ntz, n long",
+    )
+    nodes = nodes_union(
+        nodes_from(df, labels=["T"], element_id=F.col("id"),
+                   props={"ts": F.col("ts"), "n": F.col("n")})
+    )
+    got = {r["element_id"]: json.loads(r["properties_json"])
+           for r in nodes.select("element_id", "properties_json").collect()}
+    assert got["a"]["n"] == 5 and isinstance(got["a"]["n"], int)
+    assert "n" not in got["b"]  # null dropped, not "NaN"
+
+
+def test_duplicate_struct_fields_raise_at_plan_time(spark):
+    """Silent last-key-wins data loss is rejected with a clear error."""
+    df = spark.createDataFrame([(1, "x")], "a long, b string").select(
+        F.struct(F.col("a").alias("k"), F.col("b").alias("k")).alias("properties")
+    )
+    with pytest.raises(ValueError, match="duplicate struct field names"):
+        export_props_json_col(df)
