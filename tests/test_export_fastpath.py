@@ -300,3 +300,38 @@ def test_duplicate_struct_fields_raise_at_plan_time(spark):
     )
     with pytest.raises(ValueError, match="duplicate struct field names"):
         export_props_json_col(df)
+
+
+def test_fuzz_byte_parity_over_exotic_strings(spark):
+    """300 seeded random strings spanning control chars, all escape
+    classes, astral planes, and bidi/zero-width marks — every exported
+    line must equal the pure-Python contract rendering."""
+    import random
+
+    rng = random.Random(20260816)
+    pools = [
+        lambda: chr(rng.randrange(0x00, 0x20)),          # C0 controls
+        lambda: chr(rng.randrange(0x20, 0x7F)),          # ASCII
+        lambda: chr(rng.randrange(0x80, 0x2500)),        # BMP
+        lambda: chr(rng.randrange(0x1F300, 0x1F700)),    # astral emoji
+        lambda: rng.choice('"\\/​  ‮\x7f'),
+    ]
+    strings = [
+        "".join(rng.choice(pools)() for _ in range(rng.randrange(0, 24)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "num long, text string"
+    )
+    nodes = nodes_union(
+        nodes_from(df, labels=["F"], element_id=F.concat(F.lit("f:"), F.col("num")),
+                   props={"text": F.col("text"), "num": F.col("num")})
+    )
+    rows = _serialize_nodes(nodes, "EXP", hashed_ids=True).collect()
+    hashes = {r["element_id"]: r["content_hash"] for r in nodes.collect()}
+    got = {json.loads(r["line"])["element_id"]: r["line"] for r in rows}
+    assert len(got) == 300
+    for i, s in enumerate(strings):
+        eid = f"f:{i}"
+        expected = _py_node_line(eid, ["F"], {"text": s, "num": i}, hashes[eid], "EXP")
+        assert got[eid] == expected, f"fuzz {i}: {s!r}"
