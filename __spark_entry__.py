@@ -624,6 +624,40 @@ def _q34_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _q35_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full export→import round trip: write the flagship graph to the
+    reference JSONL format, read it BACK with the JSONL source, and return
+    the imported document-node identity hashes — the oracle recomputes
+    them in closed form, so any byte drift in either direction of the
+    round trip breaks the gate."""
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from neo4j_export_tool_spark.plans.flagship import documents_kg
+    from neo4j_export_tool_spark.sources.jsonl_sink import (
+        export_jsonl,
+        with_properties_json,
+    )
+    from neo4j_export_tool_spark.sources.jsonl_source import read_jsonl_export
+
+    _ensure_shipped(spark)
+    nodes, hashed = documents_kg(spark, sf_dir)
+    out = _tf.mkdtemp(prefix="q35-roundtrip-")
+    try:
+        res = export_jsonl(
+            nodes, with_properties_json(hashed), out, db_name="roundtrip"
+        )
+        imp = read_jsonl_export(spark, res.path)
+        return (
+            imp.nodes.filter(F.col("element_id").startswith("doc:"))
+            .select("element_id", "content_hash")
+            .orderBy("element_id")
+            .localCheckpoint(eager=True)  # scratch dir removed below
+        )
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -660,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_audio_decode": _q32_audio_decode,
         "q33_salted_rollup": _q33_salted_rollup,
         "q34_streaming_windows": _q34_streaming_windows,
+        "q35_jsonl_roundtrip": _q35_jsonl_roundtrip,
     }
 
 
@@ -1024,6 +1059,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*) AS n,
                    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        # export→import round trip must reproduce the closed-form hashes
+        "q35_jsonl_roundtrip": f"""
+            SELECT 'doc:' || doc_id AS element_id,
+                   {_DOC_NODE_HASH} AS content_hash
+            FROM documents ORDER BY element_id
         """,
         # the availableNow streaming drain must converge to the batch answer
         "q34_streaming_windows": """

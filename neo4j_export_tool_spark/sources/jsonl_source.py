@@ -1,0 +1,110 @@
+"""JSONL export READER — loads a reference-format export back into
+nodes/edges DataFrames (the import half of the round trip).
+
+Accepts both layouts the sink produces (and the reference tool's own
+output, which is the single-file layout):
+
+- single file: line 1 metadata, then node / relationship / error / warning
+  records (``Core/Types.fs:347-370``);
+- dir mode: ``_metadata.json`` + ``nodes/`` + ``relationships/`` line files.
+
+Parsing is JVM-side (``from_json`` with explicit record schemas; the
+open-ended ``properties`` object stays a JSON string — the same
+heterogeneous-bag representation ``nodes_union`` uses), so imports scale
+like any text scan: no Python in the row path, predicate pushdown on the
+record ``type`` discriminator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NODE_SCHEMA = (
+    "type string, element_id string, NET_node_content_hash string, "
+    "export_id string, labels array<string>"
+)
+REL_SCHEMA = (
+    "type string, element_id string, NET_rel_identity_hash string, "
+    "export_id string, label string, start_element_id string, "
+    "end_element_id string, start_node_content_hash string, "
+    "end_node_content_hash string"
+)
+
+
+@dataclass
+class ImportedExport:
+    metadata: dict[str, Any]
+    nodes: DataFrame  # (element_id, labels, properties_json, content_hash)
+    edges: DataFrame  # (element_id, label, start/end ids+hashes, properties_json)
+    errors: DataFrame  # raw error/warning records (line string)
+
+
+def _lines_df(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.isdir(path):
+        sections = [
+            os.path.join(path, d)
+            for d in ("nodes", "relationships")
+            if os.path.isdir(os.path.join(path, d))
+        ]
+        return spark.read.text(sections)
+    df = spark.read.text(path)
+    # drop the metadata line (the only line with format_version at top level)
+    return df.filter(
+        F.get_json_object("value", "$.format_version").isNull()
+    )
+
+
+def _read_metadata(path: str) -> dict[str, Any]:
+    meta_path = (
+        os.path.join(path, "_metadata.json") if os.path.isdir(path) else path
+    )
+    with open(meta_path, encoding="utf-8") as f:
+        return json.loads(f.readline())
+
+
+def read_jsonl_export(spark: SparkSession, path: str) -> ImportedExport:
+    """Load an export (file or directory) back into DataFrames.
+
+    ``properties`` is re-emitted as the raw JSON object string
+    (``properties_json``) — byte-identical to what the sink wrote, so a
+    re-export round-trips exactly.
+    """
+    metadata = _read_metadata(path)
+    lines = _lines_df(spark, path)
+    kind = F.get_json_object("value", "$.type")
+
+    node_lines = lines.filter(kind == "node")
+    nodes = node_lines.select(
+        F.from_json("value", NODE_SCHEMA).alias("r"),
+        F.get_json_object("value", "$.properties").alias("properties_json"),
+    ).select(
+        F.col("r.element_id").alias("element_id"),
+        F.col("r.labels").alias("labels"),
+        "properties_json",
+        F.col("r.NET_node_content_hash").alias("content_hash"),
+    )
+
+    rel_lines = lines.filter(kind == "relationship")
+    edges = rel_lines.select(
+        F.from_json("value", REL_SCHEMA).alias("r"),
+        F.get_json_object("value", "$.properties").alias("properties_json"),
+    ).select(
+        F.col("r.element_id").alias("element_id"),
+        F.col("r.label").alias("label"),
+        F.col("r.start_element_id").alias("start_element_id"),
+        F.col("r.end_element_id").alias("end_element_id"),
+        F.col("r.start_node_content_hash").alias("start_node_content_hash"),
+        F.col("r.end_node_content_hash").alias("end_node_content_hash"),
+        "properties_json",
+    )
+
+    errors = lines.filter(kind.isin("error", "warning")).select(
+        F.col("value").alias("line")
+    )
+    return ImportedExport(metadata=metadata, nodes=nodes, edges=edges, errors=errors)

@@ -1,0 +1,70 @@
+"""Round-trip: export → read back → re-export must be byte-stable.
+
+The import half (`sources/jsonl_source.py`) loads a reference-format file
+or dir back into the same DataFrame shapes the sink consumes, so
+export(read(export(g))) == export(g) up to the export_id/timestamp lines.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from neo4j_export_tool_spark.plans.flagship import documents_kg
+from neo4j_export_tool_spark.sources.jsonl_sink import (
+    export_jsonl,
+    with_properties_json,
+)
+from neo4j_export_tool_spark.sources.jsonl_source import read_jsonl_export
+
+
+@pytest.fixture(scope="module")
+def exported(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("rt")
+    nodes, hashed = documents_kg(spark, sf_dir)
+    res = export_jsonl(
+        nodes, with_properties_json(hashed), str(out), db_name="rt",
+        export_id="11111111-2222-3333-4444-555555555555",
+    )
+    return res
+
+
+def test_roundtrip_counts_and_hashes(spark, exported):
+    imp = read_jsonl_export(spark, exported.path)
+    assert imp.metadata["database_statistics"]["nodeCount"] == exported.node_count
+    assert imp.nodes.count() == exported.node_count
+    assert imp.edges.count() == exported.rel_count
+    # identity hashes survive the round trip
+    bad = imp.nodes.filter(~imp.nodes.content_hash.rlike("^[a-f0-9]{64}$")).count()
+    assert bad == 0
+
+
+def test_reexport_is_byte_stable(spark, exported, tmp_path):
+    """export(read(export)) reproduces every node/relationship line."""
+    imp = read_jsonl_export(spark, exported.path)
+    res2 = export_jsonl(
+        imp.nodes, imp.edges, str(tmp_path), db_name="rt",
+        export_id="11111111-2222-3333-4444-555555555555",
+    )
+    def data_lines(p):
+        with open(p, encoding="utf-8") as f:
+            return sorted(
+                ln for ln in f.read().splitlines()[1:]
+                if json.loads(ln)["type"] in ("node", "relationship")
+            )
+    assert data_lines(res2.path) == data_lines(exported.path)
+    assert res2.node_count == exported.node_count
+    assert res2.rel_count == exported.rel_count
+
+
+def test_dir_mode_import(spark, sf_dir, tmp_path):
+    nodes, hashed = documents_kg(spark, sf_dir)
+    res = export_jsonl(
+        nodes, with_properties_json(hashed), str(tmp_path), db_name="rt",
+        single_file=False, sort_lines=False,
+    )
+    imp = read_jsonl_export(spark, str(tmp_path))
+    assert imp.nodes.count() == res.node_count
+    assert imp.edges.count() == res.rel_count
+    assert imp.metadata["database_statistics"]["relCount"] == res.rel_count
