@@ -30,7 +30,11 @@ from datetime import datetime, timezone
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
+# the input_hint pages shape: text/lang are null here — filled downstream
+# by extraction (byte-deterministic) and language ID
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
 
 
 def _split_records(raw: bytes) -> Iterator[bytes]:
@@ -100,7 +104,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     urls.append(url)
                     tss.append(ts)
                     htmls.append(html)
-            yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": tss,
+                    "html": htmls,
+                    "text": [None] * len(urls),
+                    "lang": [None] * len(urls),
+                }
+            )
 
     return files.mapInPandas(run, schema=PAGES_SCHEMA)
 

@@ -68,3 +68,35 @@ def test_read_warc_to_pipeline_byte_identical(spark, tmp_path):
         ).collect()
     }
     assert via_warc == via_direct
+
+
+def test_warc_pages_feed_the_full_pipeline(spark, tmp_path):
+    """WARC → pages shape → PagesPipeline end-to-end (the north-star input
+    path: archive files in, resumable KG stages out)."""
+    from neo4j_export_tool_spark.plans.pages_pipeline import PagesPipeline
+    from neo4j_export_tool_spark.sources.synth import (
+        GAZETTEER,
+        ORGS,
+        PERSONS,
+        PLACES,
+        RELATION_TEMPLATES,
+    )
+
+    pages, _ = generate_pages(60, seed=11)
+    recs = [
+        (u, datetime(2024, 3, 1), h) for u, h in zip(pages["url"], pages["html"])
+    ]
+    (tmp_path / "crawl.warc.gz").write_bytes(write_warc(recs, compress=True))
+    loaded = read_warc(spark, str(tmp_path / "crawl.warc.gz"))
+    surfaces = {
+        "Person": [s for a in PERSONS.values() for s in a],
+        "Organization": [s for a in ORGS.values() for s in a],
+        "Place": [s for a in PLACES.values() for s in a],
+    }
+    pipe = PagesPipeline(
+        spark, str(tmp_path / "work"), GAZETTEER, RELATION_TEMPLATES,
+        surfaces, resume=False,
+    )
+    res = pipe.run(loaded, fingerprint="warc-crawl-test")
+    assert "export" in res.stages_run
+    assert res.metrics["triples"]["rows"] > 0
