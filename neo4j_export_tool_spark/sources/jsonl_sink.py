@@ -483,7 +483,25 @@ def build_metadata(
     warning_count: int,
     duration_seconds: float,
     timestamp_utc: str,
+    compression: str = "none",
 ) -> dict[str, Any]:
+    # reference CompressionHints (Database/Metadata.fs:348-352) are HINTS
+    # about what a consumer could compress with; when the sink itself
+    # gzips, the hints describe the actual encoding
+    if compression == "gzip":
+        compression_hints = {
+            "recommended": "gzip",
+            "compatible": ["gzip", "none"],
+            "expected_ratio": 0.3,
+            "suffix": ".jsonl.gz",
+        }
+    else:
+        compression_hints = {
+            "recommended": "zstd",
+            "compatible": ["zstd", "gzip", "brotli", "none"],
+            "expected_ratio": 0.3,
+            "suffix": ".jsonl.zst",
+        }
     node_start = 2
     rel_start = node_start + node_count
     error_start = rel_start + rel_count
@@ -533,8 +551,14 @@ def build_metadata(
             "total_warnings": warning_count,
         },
         "supported_record_types": ["node", "relationship", "error", "warning"],
-        "compatibility": {"min_reader_version": "1.0.0"},
-        "compression": {"algorithm": "none"},
+        # reference CompatibilityInfo / CompressionHints shapes
+        # (Core/Types.fs:310-330, Database/Metadata.fs:343-352)
+        "compatibility": {
+            "minimum_reader_version": "1.0.0",
+            "deprecated_fields": [],
+            "breaking_change_version": "2.0.0",
+        },
+        "compression": compression_hints,
         "pagination_performance": {
             "strategy": "partition_parallel",
             "note": "keyset pagination replaced by partition-parallel scan",
@@ -570,6 +594,7 @@ def export_jsonl(
     warnings: list[dict[str, Any]] | None = None,
     single_file: bool = True,
     sort_lines: bool = True,
+    compression: str = "none",
 ) -> ExportResult:
     """Export nodes/edges DataFrames to the reference JSONL format.
 
@@ -579,7 +604,14 @@ def export_jsonl(
 
     ``hashed_ids=False`` omits every hash field (reference
     ``N4JET_ENABLE_HASHED_IDS=false``, ``GraphElements.fs:140-141,179-197``).
+
+    ``compression="gzip"``: executors write gzip text parts; the
+    single-file concat of gzip members is itself a valid gzip stream
+    (multi-member, per RFC 1952), so the layout contract holds with a
+    ``.gz`` suffix — the practical choice at 100 TB.
     """
+    if compression not in ("none", "gzip"):
+        raise ValueError(f"unsupported compression: {compression!r}")
     t0 = time.perf_counter()
     export_id = export_id or str(uuid.uuid4())
     started = time.gmtime()
@@ -641,12 +673,13 @@ def export_jsonl(
             all_lines = node_out.select(
                 F.lit(0).alias("sec"), "line"
             ).unionByName(rel_out.select(F.lit(1).alias("sec"), "line"))
+            _wopt = {"compression": compression} if compression != "none" else {}
             if sort_lines:
                 # ONE write job: orderBy(sec, line) range-partitions, so
                 # part files in name order ARE globally ordered
                 all_lines.orderBy("sec", "line").select("line").write.mode(
                     "overwrite"
-                ).text(sections_dir)
+                ).options(**_wopt).text(sections_dir)
                 part_files = sorted(
                     _glob.glob(os.path.join(sections_dir, "part-*"))
                 )
@@ -655,9 +688,9 @@ def export_jsonl(
                 # section (an orderBy on the 2-valued section key would
                 # funnel the export through ~2 tasks); section order is
                 # restored by concatenating sec=0 parts before sec=1
-                all_lines.write.partitionBy("sec").mode("overwrite").text(
-                    sections_dir
-                )
+                all_lines.write.partitionBy("sec").mode("overwrite").options(
+                    **_wopt
+                ).text(sections_dir)
                 part_files = sorted(
                     _glob.glob(os.path.join(sections_dir, "sec=0", "part-*"))
                 ) + sorted(
@@ -668,10 +701,15 @@ def export_jsonl(
             # scale path: executor-written line files per section
             nodes_dir = os.path.join(out_dir, "nodes")
             rels_dir = os.path.join(out_dir, "relationships")
+            _wopt = {"compression": compression} if compression != "none" else {}
             if sort_lines:
                 # per-section global order needs one range-sort per section
-                node_out.orderBy("line").write.mode("overwrite").text(nodes_dir)
-                rel_out.orderBy("line").write.mode("overwrite").text(rels_dir)
+                node_out.orderBy("line").write.mode("overwrite").options(
+                    **_wopt
+                ).text(nodes_dir)
+                rel_out.orderBy("line").write.mode("overwrite").options(
+                    **_wopt
+                ).text(rels_dir)
             else:
                 # unsorted: both sections land in ONE partitionBy write job,
                 # then the partition dirs move to their contract names
@@ -682,7 +720,9 @@ def export_jsonl(
                     F.lit("nodes").alias("section"), "line"
                 ).unionByName(
                     rel_out.select(F.lit("relationships").alias("section"), "line")
-                ).write.partitionBy("section").mode("overwrite").text(scratch)
+                ).write.partitionBy("section").mode("overwrite").options(
+                    **_wopt
+                ).text(scratch)
                 for sec, dest in (("nodes", nodes_dir), ("relationships", rels_dir)):
                     src_dir = os.path.join(scratch, f"section={sec}")
                     shutil.rmtree(dest, ignore_errors=True)
@@ -733,9 +773,12 @@ def export_jsonl(
             warning_count=len(warn_records),
             duration_seconds=0.0,  # patched below
             timestamp_utc=timestamp_utc,
+            compression=compression,
         )
 
         filename = generate_filename(db_name, node_count, rel_count, export_id, started)
+        if compression == "gzip":
+            filename += ".gz"
         final_path = os.path.join(out_dir, filename)
 
         if single_file:
@@ -748,13 +791,28 @@ def export_jsonl(
             metadata["export_manifest"]["total_export_duration_seconds"] = round(
                 time.perf_counter() - t0, 6
             )
-            with open(tmp_path, "w", encoding="utf-8") as f:
-                f.write(dumps(metadata) + "\n")
-                for part in part_files:
-                    with open(part, encoding="utf-8") as pf:
-                        shutil.copyfileobj(pf, f, 1 << 20)
-                for rec in err_records + warn_records:
-                    f.write(dumps(rec) + "\n")
+            if compression == "gzip":
+                # gzip members concatenate into one valid stream (RFC 1952)
+                import gzip as _gzip
+
+                with open(tmp_path, "wb") as f:
+                    f.write(_gzip.compress((dumps(metadata) + "\n").encode()))
+                    for part in part_files:
+                        with open(part, "rb") as pf:
+                            shutil.copyfileobj(pf, f, 1 << 20)
+                    tail = "".join(
+                        dumps(rec) + "\n" for rec in err_records + warn_records
+                    )
+                    if tail:
+                        f.write(_gzip.compress(tail.encode()))
+            else:
+                with open(tmp_path, "w", encoding="utf-8") as f:
+                    f.write(dumps(metadata) + "\n")
+                    for part in part_files:
+                        with open(part, encoding="utf-8") as pf:
+                            shutil.copyfileobj(pf, f, 1 << 20)
+                    for rec in err_records + warn_records:
+                        f.write(dumps(rec) + "\n")
             os.replace(tmp_path, final_path)
             shutil.rmtree(sections_dir, ignore_errors=True)
             files = [final_path]

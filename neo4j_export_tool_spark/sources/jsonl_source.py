@@ -64,6 +64,11 @@ def _read_metadata(path: str) -> dict[str, Any]:
     meta_path = (
         os.path.join(path, "_metadata.json") if os.path.isdir(path) else path
     )
+    if meta_path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(meta_path, "rt", encoding="utf-8") as f:
+            return json.loads(f.readline())
     with open(meta_path, encoding="utf-8") as f:
         return json.loads(f.readline())
 

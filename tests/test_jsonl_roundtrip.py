@@ -68,3 +68,28 @@ def test_dir_mode_import(spark, sf_dir, tmp_path):
     assert imp.nodes.count() == res.node_count
     assert imp.edges.count() == res.rel_count
     assert imp.metadata["database_statistics"]["relCount"] == res.rel_count
+
+
+def test_gzip_export_roundtrip(spark, sf_dir, tmp_path):
+    """compression='gzip': multi-member gzip single file is valid gzip,
+    carries the gzip compression hints, and round-trips through the
+    importer (spark.read.text decodes .gz transparently)."""
+    import gzip
+
+    nodes, hashed = documents_kg(spark, sf_dir)
+    res = export_jsonl(
+        nodes, with_properties_json(hashed), str(tmp_path), db_name="gz",
+        compression="gzip", sort_lines=False,
+    )
+    assert res.path.endswith(".jsonl.gz")
+    with gzip.open(res.path, "rt", encoding="utf-8") as f:
+        first = json.loads(f.readline())
+        n_lines = sum(1 for _ in f)
+    assert first["compression"]["recommended"] == "gzip"
+    assert first["compression"]["suffix"] == ".jsonl.gz"
+    assert first["compatibility"]["minimum_reader_version"] == "1.0.0"
+    assert n_lines == res.node_count + res.rel_count
+
+    imp = read_jsonl_export(spark, res.path)
+    assert imp.nodes.count() == res.node_count
+    assert imp.edges.count() == res.rel_count
