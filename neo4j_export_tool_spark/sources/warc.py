@@ -56,7 +56,10 @@ def _split_records(raw: bytes) -> Iterator[bytes]:
         length = 0
         for line in headers.split(b"\r\n"):
             if line.lower().startswith(b"content-length:"):
-                length = int(line.split(b":", 1)[1].strip())
+                try:
+                    length = int(line.split(b":", 1)[1].strip())
+                except ValueError:
+                    length = 0  # malformed length: treat payload as empty
                 break
         body_start = head_end + 4
         yield raw[i : body_start + length]

@@ -263,3 +263,57 @@ def test_real_wav_decode_and_frame_sampling(spark):
     assert a1["duration_ms"] == 1000
     assert list(a1["sampled_head"]) == [samples[i] for i in range(0, 8000, 1000)]
     assert feats["bad"]["sample_rate"] is None
+
+
+def test_incremental_kg_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming pages → mention-edge JSONL: the drained stream must emit
+    exactly the batch twin's mention set, and a SECOND availableNow run
+    over the same checkpoint must emit nothing new (exactly-once), while
+    newly arrived files produce only their own records (resume)."""
+    import json as _json
+
+    from neo4j_export_tool_spark.operators.extract import extract_text_udf
+    from neo4j_export_tool_spark.operators.mentions import detect_mentions
+    from neo4j_export_tool_spark.sources.synth import GAZETTEER, pages_spark_df
+    from neo4j_export_tool_spark.streaming.pages import incremental_kg_stream
+
+    src_dir, out_dir, ckpt = (
+        str(tmp_path / "pages"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    batch1 = pages_spark_df(spark, 40, seed=21, partitions=2)
+    batch1.write.mode("overwrite").parquet(src_dir)
+
+    q = incremental_kg_stream(spark, src_dir, GAZETTEER, out_dir, ckpt)
+    q.awaitTermination()
+
+    def emitted():
+        lines = spark.read.text(out_dir).collect()
+        return {
+            (r["start_element_id"], r["end_element_id"], r["char_start"])
+            for r in (_json.loads(x["value"]) for x in lines)
+        }
+
+    got1 = emitted()
+    batch_mentions = detect_mentions(
+        batch1.select("url", extract_text_udf(F.col("html")).alias("text")),
+        GAZETTEER,
+    )
+    want = {
+        (f"page:{r['url']}", f"concept:{r['canonical']}", r["start"])
+        for r in batch_mentions.collect()
+    }
+    assert got1 == want and len(got1) > 0
+
+    # re-run with no new files: exactly-once, nothing re-emitted
+    q2 = incremental_kg_stream(spark, src_dir, GAZETTEER, out_dir, ckpt)
+    q2.awaitTermination()
+    assert emitted() == got1
+
+    # new files arrive: only their records are appended
+    pages_spark_df(spark, 10, seed=77, partitions=1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q3 = incremental_kg_stream(spark, src_dir, GAZETTEER, out_dir, ckpt)
+    q3.awaitTermination()
+    got3 = emitted()
+    assert got1 < got3  # strictly grew, previous records intact

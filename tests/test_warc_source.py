@@ -100,3 +100,22 @@ def test_warc_pages_feed_the_full_pipeline(spark, tmp_path):
     res = pipe.run(loaded, fingerprint="warc-crawl-test")
     assert "export" in res.stages_run
     assert res.metrics["triples"]["rows"] > 0
+
+
+def test_warc_parser_never_hangs_on_garbage():
+    """Truncated/malformed buffers must terminate quickly with whatever
+    records are recoverable — never spin or raise."""
+    import random
+
+    good = write_warc([("https://ok", datetime(2024, 1, 1), b"<html>x</html>")])
+    rng = random.Random(13)
+    cases = [
+        b"", b"WARC/1.0", b"WARC/1.0\r\n\r\n", good[: len(good) // 2],
+        b"garbage before " + good, good + b"trailing junk WARC/1.",
+        good.replace(b"Content-Length: ", b"Content-Length: 99999 #"),
+    ]
+    cases += [bytes(rng.randrange(256) for _ in range(200)) for _ in range(20)]
+    for buf in cases:
+        list(parse_warc(buf))  # must return, not hang/raise
+    # the 'garbage before' case still recovers the good record
+    assert [u for u, _, _ in parse_warc(b"junk " + good)] == ["https://ok"]
