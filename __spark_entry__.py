@@ -417,19 +417,42 @@ def _q26_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q27_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH cosine pairs (approximate candidates, exact-verified;
-    recall < 1 by design → rows-only driver check, precision guaranteed)."""
+    """Hyperplane-LSH cosine pairs over a planted-twin set — hash-exact.
+
+    The input plants an exact twin (vec_id + 100000, identical vector) for
+    each of the first 200 embeddings.  An identical pair shares every sign
+    bucket in every table, so LSH recall on the planted pairs is 1 BY
+    CONSTRUCTION, and the exact-cosine verify keeps precision exact; with
+    ``min_cosine=0.99`` (max natural pairwise cosine in the testdata is
+    ~0.48 at every sf) the output is exactly the all-pairs exact answer,
+    so the q16-style DuckDB oracle applies.  General-recall behaviour is
+    covered by the pytest subset/recall tests."""
     from neo4j_export_tool_spark.operators.ann import hyperplane_lsh_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    aug = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
     return hyperplane_lsh_pairs(
-        emb, "embedding", "vec_id", min_cosine=0.5, dim=64
+        aug, "embedding", "vec_id", min_cosine=0.99, dim=64
     ).orderBy("id_a", "id_b")
 
 
 def _q28_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity linking: blocked broadcast candidates + trigram-cosine scoring
-    (pandas-UDF scorer → rows-only driver check; exactness covered in pytest)."""
+    """Entity linking — hash-exact against a closed-form oracle.
+
+    The full J2 machinery runs (blocking equi-join, distributed trigram-IDF,
+    Arrow-batched TF-IDF cosine scorer, top-1 window, fan-back join), but
+    the gate emits only the deterministic (doc_id, surface, kb_id) top-1
+    mapping: surfaces are single tokens and each KB name is its own blocking
+    key, so the sole candidate per linkable surface is its identical-name
+    entry (score ≈ 1.0 ≥ min_score) — i.e. kb_id = 'kb:' || surface for the
+    six KB terms, a DuckDB-expressible oracle.  Float link_score exactness
+    stays in pytest (tests/test_ann_cc_linking.py)."""
     from neo4j_export_tool_spark.operators.linking import link_mentions
     from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
 
@@ -444,7 +467,7 @@ def _q28_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     linked = link_mentions(mentions, kb)
     return (
         linked.filter(F.col("kb_id").isNotNull())
-        .select("doc_id", "surface", "kb_id", "link_score")
+        .select("doc_id", "surface", "kb_id")
         .orderBy("doc_id", "surface")
     )
 
@@ -1076,6 +1099,34 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_value_c
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        # q27_ann_lsh_pairs / q28_entity_linking: approximate / pandas-UDF
-        # scored — intentionally rows-only (driver records the weaker check).
+        # q27: the gate plants exact twins (vec_id+100000) for vec_id < 200;
+        # identical vectors share every LSH bucket → recall 1 by construction,
+        # so the exact all-pairs cosine at the same threshold IS the answer
+        "q27_ann_lsh_pairs": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 200
+            ), aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, v FROM base
+            )
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v)
+                     / sqrt(list_dot_product(a.v, a.v)
+                            * list_dot_product(b.v, b.v)) AS cosine
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.99 ORDER BY id_a, id_b
+        """,
+        # q28: single-token surfaces × single-token KB names ⇒ the blocking
+        # key is the surface itself and the only candidate is the
+        # identical-name entry (score ≈ 1.0) — the top-1 map in closed form
+        "q28_entity_linking": f"""
+            {_MENTIONS_CTE}
+            SELECT doc_id, concept AS surface, 'kb:' || concept AS kb_id
+            FROM mentions
+            WHERE concept IN ('join','hash','merge','sort','scan','filter')
+            ORDER BY doc_id, surface
+        """,
     }
