@@ -196,9 +196,13 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             }
 
         for name, fn in sorted(entry_mod.queries().items()):
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # best of 2: a single cold run conflates machine contention with
+            # real regressions (round-2 per-query numbers swung ±150% on an
+            # otherwise-unchanged operator); min matches the export/flagship
+            # best-of-N policy while capping the added wall time
+            timings[name] = round(
+                min(_timed(lambda: _force(fn(spark, sf_dir))) for _ in range(2)), 3
+            )
 
         # flagship KG end-to-end (mentions → edges → hash join), with
         # throughput accounting
@@ -246,7 +250,10 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
                     export_records = res.node_count + res.rel_count
             return best
 
-        export_sec = _timed_export()
+        # sort_lines=False matches the reference's semantics (it streams
+        # records in cursor order; no global sort) — the sorted single-file
+        # mode is an extra determinism feature, benchmarked by its tests
+        export_sec = _timed_export(sort_lines=False)
         timings["jsonl_export"] = round(export_sec, 3)
         # dir mode: executor-parallel section writes (the 100 TB path)
         export_dir_sec = _timed_export(single_file=False, sort_lines=False)

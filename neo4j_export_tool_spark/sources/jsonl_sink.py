@@ -386,14 +386,22 @@ def _stats_from_written(
     Share/normalize semantics come from the same helpers the in-memory
     stats use (`_node_shares_from`, `_shares_agg`)."""
     raw = spark.read.text(paths)
+    # one Jackson parse per line (a 3-field subset schema skips the big
+    # properties payload) and ONE file scan: the parsed projection is tiny
+    # (~20 bytes/record), so persisting it lets the stats agg and the
+    # count/invalid agg run over memory instead of re-reading + re-parsing
+    # the export files per branch (round-2: readback was 40% of export time)
     base = raw.select(
-        F.get_json_object("value", "$.type").alias("kind"),
         F.from_json(
-            F.get_json_object("value", "$.labels"), "array<string>"
-        ).alias("labels"),
-        F.get_json_object("value", "$.label").alias("label"),
+            "value", "type string, labels array<string>, label string"
+        ).alias("j"),
         (F.octet_length("value") + 1).alias("line_bytes"),
-    )
+    ).select(
+        F.col("j.type").alias("kind"),
+        F.col("j.labels").alias("labels"),
+        F.col("j.label").alias("label"),
+        "line_bytes",
+    ).persist()
     node_shares = _node_shares_from(
         F.col("labels"), F.col("line_bytes"), base.filter(F.col("kind") == "node")
     )
@@ -426,7 +434,10 @@ def _stats_from_written(
             "invalid",
         )
     )
-    rows = stats_rows.unionByName(kind_agg).collect()
+    try:
+        rows = stats_rows.unionByName(kind_agg).collect()
+    finally:
+        base.unpersist()
     node_stats, rel_stats = _split_stats_rows(
         [r for r in rows if r["row_kind"] == "stats"]
     )
