@@ -498,7 +498,10 @@ def build_metadata(
 ) -> dict[str, Any]:
     # reference CompressionHints (Database/Metadata.fs:348-352) are HINTS
     # about what a consumer could compress with; when the sink itself
-    # gzips, the hints describe the actual encoding
+    # compresses, the hints describe the actual encoding.  The recommended
+    # value is always one the engine can produce (zstd via the JVM codec,
+    # gzip via Hadoop parts) — a reader following the hint gets the format
+    # it names.
     if compression == "gzip":
         compression_hints = {
             "recommended": "gzip",
@@ -620,9 +623,25 @@ def export_jsonl(
     single-file concat of gzip members is itself a valid gzip stream
     (multi-member, per RFC 1952), so the layout contract holds with a
     ``.gz`` suffix — the practical choice at 100 TB.
+
+    ``compression="zstd"``: the format the reference's CompressionHints
+    recommend (``Database/Metadata.fs:344-352``).  Executors write plain
+    text parts (this container's Hadoop lacks the native zstd codec);
+    the driver then streams them through the JVM's bundled zstd-jni
+    ``ZstdOutputStream`` — all byte movement stays JVM-side via
+    ``Files.copy``, no Py4J row traffic.  Driver-sequential compression
+    only fits the single-file layout (which is already driver-assembled
+    by contract); dir-mode callers wanting executor-parallel compression
+    use gzip.
     """
-    if compression not in ("none", "gzip"):
+    if compression not in ("none", "gzip", "zstd"):
         raise ValueError(f"unsupported compression: {compression!r}")
+    if compression == "zstd" and not single_file:
+        raise ValueError(
+            "zstd is single_file-only: executor-parallel zstd needs the "
+            "Hadoop native codec (unavailable here); use compression='gzip' "
+            "for dir mode"
+        )
     t0 = time.perf_counter()
     export_id = export_id or str(uuid.uuid4())
     started = time.gmtime()
@@ -684,7 +703,8 @@ def export_jsonl(
             all_lines = node_out.select(
                 F.lit(0).alias("sec"), "line"
             ).unionByName(rel_out.select(F.lit(1).alias("sec"), "line"))
-            _wopt = {"compression": compression} if compression != "none" else {}
+            # zstd parts stay plain: the driver compresses during concat
+            _wopt = {"compression": compression} if compression == "gzip" else {}
             if sort_lines:
                 # ONE write job: orderBy(sec, line) range-partitions, so
                 # part files in name order ARE globally ordered
@@ -790,6 +810,8 @@ def export_jsonl(
         filename = generate_filename(db_name, node_count, rel_count, export_id, started)
         if compression == "gzip":
             filename += ".gz"
+        elif compression == "zstd":
+            filename += ".zst"
         final_path = os.path.join(out_dir, filename)
 
         if single_file:
@@ -802,7 +824,27 @@ def export_jsonl(
             metadata["export_manifest"]["total_export_duration_seconds"] = round(
                 time.perf_counter() - t0, 6
             )
-            if compression == "gzip":
+            if compression == "zstd":
+                # one zstd frame over (metadata, parts, tail): parts are
+                # copied JVM-side (Files.copy into ZstdOutputStream) — the
+                # only Py4J byte traffic is the small metadata/tail strings
+                jvm = spark.sparkContext._jvm
+                fos = jvm.java.io.FileOutputStream(tmp_path)
+                zos = jvm.com.github.luben.zstd.ZstdOutputStream(fos)
+                try:
+                    zos.write(bytearray((dumps(metadata) + "\n").encode("utf-8")))
+                    for part in part_files:
+                        jvm.java.nio.file.Files.copy(
+                            jvm.java.io.File(part).toPath(), zos
+                        )
+                    tail = "".join(
+                        dumps(rec) + "\n" for rec in err_records + warn_records
+                    )
+                    if tail:
+                        zos.write(bytearray(tail.encode("utf-8")))
+                finally:
+                    zos.close()
+            elif compression == "gzip":
                 # gzip members concatenate into one valid stream (RFC 1952)
                 import gzip as _gzip
 

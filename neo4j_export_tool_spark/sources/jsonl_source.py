@@ -45,6 +45,34 @@ class ImportedExport:
     errors: DataFrame  # raw error/warning records (line string)
 
 
+def _materialize_zst(spark: SparkSession, path: str) -> str:
+    """Decompress a ``.zst`` export to a plain temp file the text reader
+    can scan.  Decompression runs JVM-side (zstd-jni ``ZstdInputStream`` →
+    ``Files.copy``), no Py4J byte traffic.  The temp file must outlive the
+    lazy DataFrames built over it, so it is NOT auto-deleted — it lives in
+    a ``mkdtemp`` dir the OS tempdir policy reclaims."""
+    import tempfile
+
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="jsonl-zst-"),
+        os.path.basename(path)[: -len(".zst")],
+    )
+    jvm = spark.sparkContext._jvm
+    fis = jvm.java.io.FileInputStream(path)
+    zis = jvm.com.github.luben.zstd.ZstdInputStream(fis)
+    try:
+        jvm.java.nio.file.Files.copy(
+            zis,
+            jvm.java.io.File(out).toPath(),
+            spark.sparkContext._gateway.new_array(
+                jvm.java.nio.file.CopyOption, 0
+            ),
+        )
+    finally:
+        zis.close()
+    return out
+
+
 def _lines_df(spark: SparkSession, path: str) -> DataFrame:
     if os.path.isdir(path):
         sections = [
@@ -80,6 +108,8 @@ def read_jsonl_export(spark: SparkSession, path: str) -> ImportedExport:
     (``properties_json``) — byte-identical to what the sink wrote, so a
     re-export round-trips exactly.
     """
+    if path.endswith(".zst"):
+        path = _materialize_zst(spark, path)
     metadata = _read_metadata(path)
     lines = _lines_df(spark, path)
     kind = F.get_json_object("value", "$.type")

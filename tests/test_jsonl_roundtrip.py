@@ -93,3 +93,36 @@ def test_gzip_export_roundtrip(spark, sf_dir, tmp_path):
     imp = read_jsonl_export(spark, res.path)
     assert imp.nodes.count() == res.node_count
     assert imp.edges.count() == res.rel_count
+
+
+def test_zstd_export_roundtrip(spark, sf_dir, tmp_path):
+    """compression='zstd': the format the reference's CompressionHints
+    recommend — written via the JVM's zstd-jni stream, read back through
+    the importer's transparent .zst materialization.  A reader following
+    the metadata hint gets exactly what it names."""
+    nodes, hashed = documents_kg(spark, sf_dir)
+    res = export_jsonl(
+        nodes, with_properties_json(hashed), str(tmp_path), db_name="zs",
+        compression="zstd", sort_lines=False,
+    )
+    assert res.path.endswith(".jsonl.zst")
+    assert res.metadata["compression"]["recommended"] == "zstd"
+    assert res.metadata["compression"]["suffix"] == ".jsonl.zst"
+
+    imp = read_jsonl_export(spark, res.path)
+    assert imp.metadata["compression"]["recommended"] == "zstd"
+    assert imp.nodes.count() == res.node_count
+    assert imp.edges.count() == res.rel_count
+    bad = imp.nodes.filter(~imp.nodes.content_hash.rlike("^[a-f0-9]{64}$")).count()
+    assert bad == 0
+
+
+def test_zstd_dir_mode_rejected(spark, sf_dir, tmp_path):
+    """Executor-parallel zstd needs the Hadoop native codec (absent here):
+    dir-mode zstd must fail loudly, not silently write something else."""
+    nodes, hashed = documents_kg(spark, sf_dir)
+    with pytest.raises(ValueError, match="single_file-only"):
+        export_jsonl(
+            nodes, with_properties_json(hashed), str(tmp_path), db_name="zs",
+            compression="zstd", single_file=False,
+        )
