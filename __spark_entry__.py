@@ -682,6 +682,49 @@ def _q35_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(out, ignore_errors=True)
 
 
+def _q36_streaming_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming twin of the flagship mention stage (q08):
+    the documents table drained availableNow through the SAME stateless
+    Aho-Corasick mapInPandas kernel and per-(doc, concept) aggregation in
+    complete mode — the streaming KG-ingestion leg (``streaming/pages.py``
+    posture), driver-visible.  Must equal the batch mention set exactly,
+    so the q08 oracle applies."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from neo4j_export_tool_spark.plans.flagship import doc_mentions
+    from neo4j_export_tool_spark.streaming.events import run_stream_to_memory
+
+    _ensure_shipped(spark)
+    stream_dir = _tf.mkdtemp(prefix="q36-docs-")
+    _os.symlink(
+        _os.path.abspath(f"{sf_dir}/documents.parquet"),
+        _os.path.join(stream_dir, "documents.parquet"),
+    )
+    sink = f"q36_sink_{_uuid.uuid4().hex[:8]}"
+    try:
+        docs = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        result = (
+            run_stream_to_memory(spark, doc_mentions(docs), sink)
+            .select("doc_id", "concept", "n_occurrences", "first_offset")
+            .orderBy("doc_id", "concept")
+            .localCheckpoint(eager=True)  # scratch dir removed below
+        )
+    finally:
+        _shutil.rmtree(stream_dir, ignore_errors=True)
+    spark.catalog.dropTempView(sink)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -719,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_salted_rollup": _q33_salted_rollup,
         "q34_streaming_windows": _q34_streaming_windows,
         "q35_jsonl_roundtrip": _q35_jsonl_roundtrip,
+        "q36_streaming_kg_mentions": _q36_streaming_kg_mentions,
     }
 
 
@@ -1128,5 +1172,12 @@ def oracle_sql() -> dict[str, str]:
             FROM mentions
             WHERE concept IN ('join','hash','merge','sort','scan','filter')
             ORDER BY doc_id, surface
+        """,
+        # q36: the streaming drain must converge to the batch mention set —
+        # same oracle as q08
+        "q36_streaming_kg_mentions": f"""
+            {_MENTIONS_CTE}
+            SELECT doc_id, concept, n_occurrences, first_offset
+            FROM mentions ORDER BY doc_id, concept
         """,
     }
