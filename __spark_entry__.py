@@ -725,6 +725,76 @@ def _q36_streaming_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _q37_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-pipeline op): typed-placeholder redaction of
+    emails / IPv4s / phone numbers, JVM regex chain.  Deterministic PII
+    spans are planted in-query (q31-style) so the gate verifies real
+    redactions — an all-natural corpus would pass vacuously at zero
+    matches.  Oracle runs the SAME patterns (Java-regex ∩ RE2 subset)."""
+    from neo4j_export_tool_spark.functions.scrub import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    cols = pii_scrub(F.col("text"))
+    return seeded.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
+def _q38_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: 2-gram repeat percentage
+    (pure column exprs) + most-frequent-token count (explode → two keyed
+    aggs, no per-doc quadratic scan)."""
+    from neo4j_export_tool_spark.functions.text import (
+        repetition_2gram_metrics,
+        top_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = repetition_2gram_metrics(F.col("text"))
+    per_doc = docs.select("doc_id", *[c.alias(n) for n, c in m.items()])
+    top = top_token_counts(docs, "text", "doc_id")
+    return (
+        per_doc.join(top, per_doc["doc_id"] == top["doc"])
+        .drop("doc")
+        .orderBy("doc_id")
+    )
+
+
+def _q39_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder: global top-100 tokens by frequency,
+    ties broken by token — the tokenizer-training precursor."""
+    from neo4j_export_tool_spark.functions.text import corpus_vocab
+
+    return corpus_vocab(_t(spark, sf_dir, "documents"), "text", k=100)
+
+
+def _q40_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing distinct word 5-gram
+    shingles with the eval subset (doc_id % 97 == 0), with per-doc hit
+    counts — the overlap join every training corpus needs before a model
+    sees a benchmark."""
+    from neo4j_export_tool_spark.operators.decontaminate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, eval_docs, shingle_n=5).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -763,6 +833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_streaming_windows": _q34_streaming_windows,
         "q35_jsonl_roundtrip": _q35_jsonl_roundtrip,
         "q36_streaming_kg_mentions": _q36_streaming_kg_mentions,
+        "q37_pii_scrub": _q37_pii_scrub,
+        "q38_repetition": _q38_repetition,
+        "q39_vocab_topk": _q39_vocab_topk,
+        "q40_decontaminate": _q40_decontaminate,
     }
 
 
@@ -1179,5 +1253,78 @@ def oracle_sql() -> dict[str, str]:
             {_MENTIONS_CTE}
             SELECT doc_id, concept, n_occurrences, first_offset
             FROM mentions ORDER BY doc_id, concept
+        """,
+        # q37: same seeded text, same patterns (Java-regex ∩ RE2 subset),
+        # same sequential replace order; 'g' flag = Spark's replace-all
+        "q37_pii_scrub": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR ||
+                     '@example.com from 10.0.' || (doc_id % 256)::VARCHAR ||
+                     '.1 call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+                     '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text_redacted,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
+            FROM seeded ORDER BY doc_id
+        """,
+        "q38_repetition": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), m AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     greatest(len(toks) - 1, 0) AS total_2grams,
+                     len(list_distinct(list_transform(
+                       range(1, greatest(len(toks), 1)),
+                       i -> toks[i] || ' ' || toks[i+1]
+                     ))) AS distinct_2grams
+              FROM tok
+            ), counts AS (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+              ) GROUP BY doc_id, tok
+            ), tt AS (
+              SELECT doc_id, max(c) AS top_token_count FROM counts GROUP BY doc_id
+            )
+            SELECT m.doc_id, n_tokens, total_2grams, distinct_2grams,
+                   CAST(FLOOR(100 * (total_2grams - distinct_2grams)
+                              / greatest(total_2grams, 1)) AS BIGINT) AS rep2_pct,
+                   top_token_count
+            FROM m JOIN tt USING (doc_id) ORDER BY m.doc_id
+        """,
+        "q39_vocab_topk": """
+            SELECT token, n FROM (
+              SELECT tok AS token, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+              ) GROUP BY 1
+            ) ORDER BY n DESC, token LIMIT 100
+        """,
+        "q40_decontaminate": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(toks) - 3, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] ||
+                     ' ' || toks[i+3] || ' ' || toks[i+4]
+              ))) AS shingle
+              FROM tok
+            ), ev AS (
+              SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+            )
+            SELECT doc_id, count(*) AS n_eval_shingles
+            FROM sh JOIN ev USING (shingle)
+            GROUP BY doc_id ORDER BY doc_id
         """,
     }

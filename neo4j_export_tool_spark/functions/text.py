@@ -83,6 +83,64 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_2gram_metrics(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals, per document, pure column exprs:
+    the fraction of word 2-grams that are repeats of an earlier 2-gram
+    (integer percent, FLOOR for cross-engine bit-stability).  High values
+    flag boilerplate/spam pages a training corpus should drop."""
+    from neo4j_export_tool_spark.functions.similarity import (
+        tokens_col,
+        word_shingles_col,
+    )
+
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    total_2grams = F.greatest(n_tokens - 1, F.lit(0))
+    distinct_2grams = F.size(word_shingles_col(toks, 2))
+    return {
+        "n_tokens": n_tokens,
+        "total_2grams": total_2grams,
+        "distinct_2grams": distinct_2grams,
+        "rep2_pct": F.floor(
+            100 * (total_2grams - distinct_2grams)
+            / F.greatest(total_2grams, F.lit(1))
+        ),
+    }
+
+
+def top_token_counts(df, text_col: str, id_col: str):
+    """(id, top_token_count): the count of the most frequent token per doc —
+    the other Gopher repetition axis (one word dominating the page).
+
+    Distributed shape: explode → two keyed aggs.  The (doc, token) key is
+    high-cardinality and unskewed (a single doc's tokens land together but
+    one doc is bounded), so both shuffles partition evenly at any corpus
+    size — no per-doc O(n²) higher-order scan."""
+    toks = F.split(F.col(text_col), " ")
+    per_tok = (
+        df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tok"))
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_tok.groupBy("doc").agg(F.max("c").alias("top_token_count"))
+
+
+def corpus_vocab(df, text_col: str, k: int = 100):
+    """Corpus-level vocabulary: top-k tokens by frequency, ties broken by
+    token (deterministic, oracle-comparable).  The global top-k is a
+    groupBy + partial top-k per partition (Spark's sort+limit pushes the
+    limit into each partition), so the full vocabulary never concentrates
+    on one node."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Rolling polynomial hash over tokens:
     acc ← (acc*31 + ascii(first char) + len(token)) mod 1e9+7.
