@@ -96,11 +96,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 def hyperplane_signature(
     df: DataFrame, vec_col: str, n_planes: int, dim: int, seed: int = 7
 ) -> DataFrame:
-    """Add a ``bucket`` column: sign-pattern int over random hyperplanes."""
-    # NOTE: unrolling these dots into literal-coefficient expressions was
-    # measured SLOWER (n_planes×dim-term trees blow past codegen method
-    # limits); the HOF aggregate per plane is the right trade here since the
-    # signature runs once per row, not once per pair.
+    """Add a ``bucket`` column: sign-pattern int over random hyperplanes.
+
+    Column-expression form (kept for single-table callers/tests); the
+    multi-table LSH uses `_signature_table` — a single numpy-GEMM
+    mapInPandas — because n_tables×n_planes dot expressions make Catalyst
+    optimization time, not data compute, the dominant cost."""
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     v = as_double_array(F.col(vec_col))
@@ -109,6 +110,53 @@ def hyperplane_signature(
         d = dot_col(v, plane)
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket)
+
+
+def _signature_table(
+    sig: DataFrame, n_planes: int, n_tables: int, dim: int, seed: int = 7
+) -> DataFrame:
+    """(id, v) → (id, v, bucket_0..bucket_{T-1}) via ONE Arrow-batched
+    numpy GEMM: V(n×d) @ planes(d×T·P) → signs → per-table bucket ints.
+
+    Bucket assignment only partitions the candidate space — every emitted
+    pair is re-verified with the exact JVM cosine — so the GEMM's sign
+    evaluation needs no bit-parity with the column-expression form.  The
+    win: the 4×8 unrolled dot expressions made Catalyst optimization time
+    (seconds per query, constant at any scale) dominate a trivial compute;
+    the GEMM is microseconds per batch and scales linearly."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = next(
+        f.dataType.simpleString() for f in sig.schema if f.name == "id"
+    )
+    planes = np.array(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)],
+        dtype=np.float64,
+    )  # (T, P, D)
+    flat = planes.reshape(n_tables * n_planes, dim).T  # (D, T·P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def sign_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )  # (n, D)
+            bits = (mat @ flat > 0).astype(np.int64)
+            buckets = bits.reshape(len(pdf), n_tables, n_planes) @ weights
+            out = {"id": pdf["id"].values, "v": pdf["v"].values}
+            for t in range(n_tables):
+                out[f"bucket_{t}"] = buckets[:, t]
+            yield pd.DataFrame(out)
+
+    bucket_ddl = ", ".join(f"bucket_{t} long" for t in range(n_tables))
+    return sig.mapInPandas(
+        sign_buckets, schema=f"id {id_type}, v array<double>, {bucket_ddl}"
+    )
 
 
 def hyperplane_lsh_pairs(
@@ -144,10 +192,13 @@ def hyperplane_lsh_pairs(
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, cosine double"
         )
-    sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    for t in range(n_tables):
-        sig = hyperplane_signature(sig, "v", n_planes, dim, seed=7 + t)
-        sig = sig.withColumnRenamed("bucket", f"bucket_{t}")
+    sig = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    ).filter(F.col("v").isNotNull())
+    sig = _signature_table(sig, n_planes, n_tables, dim, seed=7)
+    # nsq stays a JVM fixed-dim unrolled expression: it feeds the EXACT
+    # verify cosine, which must stay bit-identical to the oracle's
+    # list_dot_product formula (the GEMM is candidate-selection only)
     sig = sig.withColumn("nsq", norm_sq_col(F.col("v"), dim)).localCheckpoint(
         eager=False
     )
