@@ -97,3 +97,28 @@ def test_export_fast_lane_is_jvm_side(spark, sf_dir):
     edges = with_properties_json(hashed)
     eplan = plan_of(edges)
     assert "BatchEvalPython" not in eplan
+
+
+def test_pii_scrub_is_pure_codegen(spark, sf_dir):
+    """PII redaction must stay a JVM regexp chain: no Python of any kind
+    in the plan."""
+    from neo4j_export_tool_spark.functions.scrub import pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = pii_scrub(F.col("text"))
+    plan = plan_of(docs.select(*[c.alias(n) for n, c in cols.items()]))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "codegen id" in plan  # formatted explain's codegen-span marker
+
+
+def test_decontaminate_no_cartesian_no_hint(spark, sf_dir):
+    """The eval-overlap join must be an equi-join on the shingle (AQE
+    decides broadcast at runtime), never a cartesian product or a baked-in
+    broadcast hint."""
+    from neo4j_export_tool_spark.operators.decontaminate import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0))
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "ResolvedHint" not in out._jdf.queryExecution().logical().toString()
