@@ -33,33 +33,13 @@ class CCResult:
     round_timings: dict | None = None  # BatchPerformanceTracker.metrics()
 
 
-def local_star_contract(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Partition-local union-find contraction (the MapReduce-CC trick).
-
-    Each input partition runs an in-memory union-find over ITS edges only —
-    no shuffle — and emits one star edge ``(vertex, local_min_root)`` per
-    vertex it saw.  The union of all partitions' stars preserves global
-    connectivity (a vertex spanning two partitions appears in both stars and
-    bridges them), but has at most V edges instead of E — on a 100 TB edge
-    list the label-propagation loop then shuffles vertex-sized data, not
-    edge-sized, and locally a single-partition graph collapses to its final
-    components before the loop even starts (round-3 q25 item).
-
-    Memory: the union-find dict is bounded by the number of DISTINCT vertex
-    ids in one input partition (≤ partition rows × 2), i.e. by
-    ``spark.sql.files.maxPartitionBytes`` — not by graph size.
-
-    String ids order identically in Python ``min`` and Spark ``least``
-    (UTF-8 byte order preserves code-point order), so the contracted
-    min-roots agree with the loop's min-label semantics.
-    """
+def make_contract_kernel(src: str, dst: str):
+    """The partition-local union-find kernel behind `local_star_contract`,
+    exposed at module level so pure-pandas tests (and hypothesis sweeps)
+    can drive it without a SparkSession."""
     from collections.abc import Iterator
 
     import pandas as pd
-
-    id_type = next(
-        f.dataType.simpleString() for f in edges.schema if f.name == src
-    )
 
     def contract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parent: dict = {}
@@ -94,8 +74,34 @@ def local_star_contract(edges: DataFrame, src: str, dst: str) -> DataFrame:
                 {src: list(parent.keys()), dst: [mins[find(x)] for x in parent]}
             )
 
+    return contract
+
+
+def local_star_contract(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Partition-local union-find contraction (the MapReduce-CC trick).
+
+    Each input partition runs an in-memory union-find over ITS edges only —
+    no shuffle — and emits one star edge ``(vertex, local_min_root)`` per
+    vertex it saw.  The union of all partitions' stars preserves global
+    connectivity (a vertex spanning two partitions appears in both stars and
+    bridges them), but has at most V edges instead of E — on a 100 TB edge
+    list the label-propagation loop then shuffles vertex-sized data, not
+    edge-sized, and locally a single-partition graph collapses to its final
+    components before the loop even starts (round-3 q25 item).
+
+    Memory: the union-find dict is bounded by the number of DISTINCT vertex
+    ids in one input partition (≤ partition rows × 2), i.e. by
+    ``spark.sql.files.maxPartitionBytes`` — not by graph size.
+
+    String ids order identically in Python ``min`` and Spark ``least``
+    (UTF-8 byte order preserves code-point order), so the contracted
+    min-roots agree with the loop's min-label semantics.
+    """
+    id_type = next(
+        f.dataType.simpleString() for f in edges.schema if f.name == src
+    )
     return edges.select(src, dst).mapInPandas(
-        contract, schema=f"{src} {id_type}, {dst} {id_type}"
+        make_contract_kernel(src, dst), schema=f"{src} {id_type}, {dst} {id_type}"
     )
 
 
