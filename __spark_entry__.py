@@ -802,6 +802,60 @@ def _q40_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, eval_docs, shingle_n=5).orderBy("doc_id")
 
 
+def _q41_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming exact dedup: the documents table drained availableNow
+    through ``dropDuplicatesWithinWatermark`` (state bounded by the
+    watermark horizon — the property that keeps a perpetual-crawl dedup
+    from OOMing).  Which duplicate survives depends on task arrival order,
+    so the gate emits only the kept rows' content hashes — that SET is
+    order-independent and must equal the distinct-hash oracle exactly."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from neo4j_export_tool_spark.streaming.dedup import dedup_stream_exact
+    from neo4j_export_tool_spark.streaming.events import run_stream_to_memory
+
+    _ensure_shipped(spark)
+    stream_dir = _tf.mkdtemp(prefix="q41-docs-")
+    _os.symlink(
+        _os.path.abspath(f"{sf_dir}/documents.parquet"),
+        _os.path.join(stream_dir, "documents.parquet"),
+    )
+    sink = f"q41_sink_{_uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        docs = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .parquet(stream_dir)
+            # synthetic deterministic event time (the table has none)
+            .withColumn(
+                "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+            )
+        )
+        kept = dedup_stream_exact(docs, "text", ts_col="ts")
+        result = (
+            run_stream_to_memory(
+                spark,
+                kept.select(F.sha2(F.col("text"), 256).alias("text_sha256")),
+                sink,
+                output_mode="append",
+            )
+            .orderBy("text_sha256")
+            .localCheckpoint(eager=True)  # scratch dir removed below
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        _shutil.rmtree(stream_dir, ignore_errors=True)
+    spark.catalog.dropTempView(sink)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -844,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_repetition": _q38_repetition,
         "q39_vocab_topk": _q39_vocab_topk,
         "q40_decontaminate": _q40_decontaminate,
+        "q41_streaming_dedup": _q41_streaming_dedup,
     }
 
 
@@ -1316,6 +1371,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(string_split(text, ' ')) AS tok FROM documents
               ) GROUP BY 1
             ) ORDER BY n DESC, token LIMIT 100
+        """,
+        # q41: whichever duplicate the stream keeps, the kept-set's hashes
+        # equal the distinct content-hash set — order-independent oracle
+        "q41_streaming_dedup": """
+            SELECT DISTINCT sha256(text) AS text_sha256
+            FROM documents ORDER BY text_sha256
         """,
         "q40_decontaminate": """
             WITH tok AS (
