@@ -682,32 +682,36 @@ def _q35_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(out, ignore_errors=True)
 
 
-def _q36_streaming_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL Structured Streaming twin of the flagship mention stage (q08):
-    the documents table drained availableNow through the SAME stateless
-    Aho-Corasick mapInPandas kernel and per-(doc, concept) aggregation in
-    complete mode — the streaming KG-ingestion leg (``streaming/pages.py``
-    posture), driver-visible.  Must equal the batch mention set exactly,
-    so the q08 oracle applies."""
+def _drain_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    build: "Callable[[DataFrame], DataFrame]",
+    finish: "Callable[[DataFrame], DataFrame]",
+    sink_prefix: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Shared scaffolding for streaming gates over the documents table:
+    symlink scratch dir (file sources need a DIRECTORY), scoped
+    ``spark.sql.shuffle.partitions`` (the stateful agg spins one
+    state-store instance per shuffle partition — pure fixed cost at ≤5k
+    keys; measured 8.7s → 2.8s at 8), availableNow drain into a memory
+    sink, eager localCheckpoint, and leak-proof cleanup: the memory-sink
+    temp view (which buffers the whole result on the driver) is dropped
+    in the SAME finally as the conf restore and scratch-dir removal."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tf
     import uuid as _uuid
 
-    from neo4j_export_tool_spark.plans.flagship import doc_mentions
     from neo4j_export_tool_spark.streaming.events import run_stream_to_memory
 
     _ensure_shipped(spark)
-    stream_dir = _tf.mkdtemp(prefix="q36-docs-")
+    stream_dir = _tf.mkdtemp(prefix=f"{sink_prefix}-docs-")
     _os.symlink(
         _os.path.abspath(f"{sf_dir}/documents.parquet"),
         _os.path.join(stream_dir, "documents.parquet"),
     )
-    sink = f"q36_sink_{_uuid.uuid4().hex[:8]}"
-    # the stateful complete-mode agg spins one state-store instance per
-    # shuffle partition; at gate scale (≤5k keys) 32 instances are pure
-    # fixed cost (measured 8.7s → 2.8s at 8) — scope the setting to the
-    # stream and restore (real deployments keep the session value)
+    sink = f"{sink_prefix}_sink_{_uuid.uuid4().hex[:8]}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -719,17 +723,38 @@ def _q36_streaming_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(stream_dir)
         )
-        result = (
-            run_stream_to_memory(spark, doc_mentions(docs), sink)
-            .select("doc_id", "concept", "n_occurrences", "first_offset")
-            .orderBy("doc_id", "concept")
-            .localCheckpoint(eager=True)  # scratch dir removed below
-        )
+        return finish(
+            run_stream_to_memory(
+                spark, build(docs), sink, output_mode=output_mode
+            )
+        ).localCheckpoint(eager=True)  # scratch dir/view released below
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         _shutil.rmtree(stream_dir, ignore_errors=True)
-    spark.catalog.dropTempView(sink)
-    return result
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass  # stream failed before the sink view materialized
+
+
+def _q36_streaming_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming twin of the flagship mention stage (q08):
+    the documents table drained availableNow through the SAME stateless
+    Aho-Corasick mapInPandas kernel and per-(doc, concept) aggregation in
+    complete mode — the streaming KG-ingestion leg (``streaming/pages.py``
+    posture), driver-visible.  Must equal the batch mention set exactly,
+    so the q08 oracle applies."""
+    from neo4j_export_tool_spark.plans.flagship import doc_mentions
+
+    return _drain_documents_stream(
+        spark,
+        sf_dir,
+        build=doc_mentions,
+        finish=lambda df: df.select(
+            "doc_id", "concept", "n_occurrences", "first_offset"
+        ).orderBy("doc_id", "concept"),
+        sink_prefix="q36",
+    )
 
 
 def _q37_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,10 +766,11 @@ def _q37_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_export_tool_spark.functions.scrub import pii_scrub
 
     docs = _t(spark, sf_dir, "documents")
+    # F.concat, not concat_ws: concat_ws SKIPS nulls while the oracle's
+    # `||` nulls the whole string — a null text must diverge identically
     seeded = docs.select(
         "doc_id",
-        F.concat_ws(
-            "",
+        F.concat(
             F.col("text"),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
@@ -809,51 +835,29 @@ def _q41_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from OOMing).  Which duplicate survives depends on task arrival order,
     so the gate emits only the kept rows' content hashes — that SET is
     order-independent and must equal the distinct-hash oracle exactly."""
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-    import uuid as _uuid
-
     from neo4j_export_tool_spark.streaming.dedup import dedup_stream_exact
-    from neo4j_export_tool_spark.streaming.events import run_stream_to_memory
 
-    _ensure_shipped(spark)
-    stream_dir = _tf.mkdtemp(prefix="q41-docs-")
-    _os.symlink(
-        _os.path.abspath(f"{sf_dir}/documents.parquet"),
-        _os.path.join(stream_dir, "documents.parquet"),
-    )
-    sink = f"q41_sink_{_uuid.uuid4().hex[:8]}"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        docs = (
-            spark.readStream.schema(
-                "doc_id long, text string, lang string, "
-                "source string, n_chars long"
-            )
-            .parquet(stream_dir)
-            # synthetic deterministic event time (the table has none)
-            .withColumn(
-                "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
-            )
+    def build(docs: DataFrame) -> DataFrame:
+        # synthetic deterministic event time (the table has none), FOLDED
+        # INTO the 1-hour span so every duplicate pair sits inside the
+        # 2-hour watermark horizon even if the source ever arrives as
+        # multiple micro-batches — otherwise state eviction between
+        # batches could re-emit a duplicate hash and break the oracle
+        docs = docs.withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 3600),
         )
         kept = dedup_stream_exact(docs, "text", ts_col="ts")
-        result = (
-            run_stream_to_memory(
-                spark,
-                kept.select(F.sha2(F.col("text"), 256).alias("text_sha256")),
-                sink,
-                output_mode="append",
-            )
-            .orderBy("text_sha256")
-            .localCheckpoint(eager=True)  # scratch dir removed below
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        _shutil.rmtree(stream_dir, ignore_errors=True)
-    spark.catalog.dropTempView(sink)
-    return result
+        return kept.select(F.sha2(F.col("text"), 256).alias("text_sha256"))
+
+    return _drain_documents_stream(
+        spark,
+        sf_dir,
+        build=build,
+        finish=lambda df: df.orderBy("text_sha256"),
+        sink_prefix="q41",
+        output_mode="append",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

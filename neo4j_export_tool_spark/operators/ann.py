@@ -141,6 +141,12 @@ def _signature_table(
 
     def sign_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # drop wrong-length vectors instead of letting a ragged batch
+            # turn `mat` into an object array and crash the GEMM — a
+            # malformed row could never survive the exact verify anyway
+            # (its out-of-range dot is null under the expression form)
+            ok = pdf["v"].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok]
             if not len(pdf):
                 continue
             mat = np.array(

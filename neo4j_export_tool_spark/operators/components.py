@@ -54,7 +54,18 @@ def make_contract_kernel(src: str, dst: str):
 
         for pdf in batches:
             for u, v in zip(pdf[src], pdf[dst]):
-                if u is None or v is None:
+                # pd.isna, not `is None`: Arrow→pandas renders a nullable
+                # numeric column as float64 with NaN, and a NaN key breaks
+                # find() (NaN != NaN → the root test never terminates).
+                # A half-null edge still contributes its non-null endpoint
+                # as an isolated vertex (matching the join path's labels).
+                un, vn = pd.isna(u), pd.isna(v)
+                if un and vn:
+                    continue
+                if un or vn:
+                    w = u if vn else v
+                    if w not in parent:
+                        parent[w] = w
                     continue
                 if u not in parent:
                     parent[u] = u

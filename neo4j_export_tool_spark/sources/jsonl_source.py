@@ -45,21 +45,40 @@ class ImportedExport:
     errors: DataFrame  # raw error/warning records (line string)
 
 
+# decompressed .zst scratch dirs: must outlive the lazy DataFrames built
+# over them, so they are reclaimed at interpreter exit, not per-call
+_ZST_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_zst_scratch() -> None:
+    import shutil
+
+    while _ZST_SCRATCH_DIRS:
+        shutil.rmtree(_ZST_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
 def _materialize_zst(spark: SparkSession, path: str) -> str:
     """Decompress a ``.zst`` export to a plain temp file the text reader
     can scan.  Decompression runs JVM-side (zstd-jni ``ZstdInputStream`` →
     ``Files.copy``), no Py4J byte traffic.  The temp file must outlive the
-    lazy DataFrames built over it, so it is NOT auto-deleted — it lives in
-    a ``mkdtemp`` dir the OS tempdir policy reclaims."""
+    lazy DataFrames built over it, so cleanup is deferred to interpreter
+    exit (atexit) rather than per-call — bounding the leak the scratch
+    copy would otherwise be on long-lived hosts."""
+    import atexit
     import tempfile
 
-    out = os.path.join(
-        tempfile.mkdtemp(prefix="jsonl-zst-"),
-        os.path.basename(path)[: -len(".zst")],
-    )
+    scratch = tempfile.mkdtemp(prefix="jsonl-zst-")
+    if not _ZST_SCRATCH_DIRS:
+        atexit.register(_cleanup_zst_scratch)
+    _ZST_SCRATCH_DIRS.append(scratch)
+    out = os.path.join(scratch, os.path.basename(path)[: -len(".zst")])
     jvm = spark.sparkContext._jvm
     fis = jvm.java.io.FileInputStream(path)
-    zis = jvm.com.github.luben.zstd.ZstdInputStream(fis)
+    try:
+        zis = jvm.com.github.luben.zstd.ZstdInputStream(fis)
+    except Exception:
+        fis.close()  # constructor failure must not leak the JVM handle
+        raise
     try:
         jvm.java.nio.file.Files.copy(
             zis,

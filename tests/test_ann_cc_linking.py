@@ -230,3 +230,31 @@ def test_ann_empty_and_null_inputs(spark):
     )
     idf = kb_trigram_idf(kb)
     assert idf and all(v > 0 for v in idf.values())
+
+
+def test_hyperplane_signature_matches_gemm_table(spark):
+    """The column-expression signature (single-table API) and the numpy-GEMM
+    table used by hyperplane_lsh_pairs must agree on bucket assignment for
+    well-separated vectors (they may only differ when a dot product sits
+    within an ulp of zero, which this deterministic data avoids)."""
+    from pyspark.sql import functions as F
+
+    from neo4j_export_tool_spark.operators.ann import (
+        _signature_table,
+        hyperplane_signature,
+    )
+
+    vecs = [
+        (i, [float(((i * 7 + j * 13) % 17) - 8) for j in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    expr = hyperplane_signature(df, "v", n_planes=6, dim=8, seed=7).select(
+        "id", "bucket"
+    )
+    gemm = _signature_table(
+        df.select("id", "v"), n_planes=6, n_tables=1, dim=8, seed=7
+    ).select("id", F.col("bucket_0").alias("bucket"))
+    assert sorted(map(tuple, expr.collect())) == sorted(
+        map(tuple, gemm.collect())
+    )
