@@ -860,6 +860,31 @@ def _q41_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q42_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling (training-corpus
+    construction): keep a doc iff its engine-portable md5 bucket falls
+    under its source's rate — reproducible across runs/engines/resumes,
+    unlike rand() sampling.  Rates derive from the source suffix so the
+    oracle states them in closed form."""
+    from neo4j_export_tool_spark.functions.sampling import (
+        mixture_sample,
+        portable_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = 10 + (F.substring("source", 4, 10).cast("int") * 4) % 80
+    return (
+        mixture_sample(docs.withColumn("rate_pct", rate), "doc_id", F.col("rate_pct"))
+        .select(
+            "doc_id",
+            "source",
+            "rate_pct",
+            portable_bucket(F.col("doc_id")).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -903,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_vocab_topk": _q39_vocab_topk,
         "q40_decontaminate": _q40_decontaminate,
         "q41_streaming_dedup": _q41_streaming_dedup,
+        "q42_mixture_sample": _q42_mixture_sample,
     }
 
 
@@ -1375,6 +1401,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(string_split(text, ' ')) AS tok FROM documents
               ) GROUP BY 1
             ) ORDER BY n DESC, token LIMIT 100
+        """,
+        # q42: the 60-bit md5-prefix bucket is bit-portable between engines
+        # (same recipe as the fingerprint oracles)
+        "q42_mixture_sample": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     10 + (substr(source, 4)::INT * 4) % 80 AS rate_pct,
+                     ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 100 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, source, rate_pct, bucket
+            FROM b WHERE bucket < rate_pct ORDER BY doc_id
         """,
         # q41: whichever duplicate the stream keeps, the kept-set's hashes
         # equal the distinct content-hash set — order-independent oracle

@@ -1,0 +1,44 @@
+"""Deterministic mixture sampling for training-corpus construction.
+
+A training run mixes sources at chosen rates ("30% web, 80% wiki, …").
+Doing that with ``rand()`` makes runs irreproducible and resumes
+inconsistent; the standard fix is HASH sampling — keep a row iff a
+deterministic hash of its id falls under the group's rate.  Properties a
+100 TB pipeline needs, all free here:
+
+- reproducible across runs, engines, partitionings (pure column exprs);
+- consistent under resume/backfill (a row's fate never changes);
+- nested rates compose (rate 30 ⊂ rate 60 for the same salt), so scaling
+  a mixture up keeps every previously selected row — no churn.
+
+The bucket is the 60-bit md5 prefix recipe that is bit-portable between
+Spark (``conv(substring(md5, 1, 15), 16, 10)``) and DuckDB
+(``('0x' || substr(md5, 1, 15))::BIGINT``), so oracles run it verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def portable_bucket(col: Column, n_buckets: int = 100, salt: str = "mix") -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets)."""
+    key = F.concat(F.lit(salt + ":"), col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % n_buckets
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate_pct: int, salt: str = "mix"
+) -> DataFrame:
+    """Keep ~rate_pct% of rows, deterministically by id."""
+    return df.filter(portable_bucket(F.col(id_col), 100, salt) < rate_pct)
+
+
+def mixture_sample(
+    df: DataFrame, id_col: str, rate_col: Column, salt: str = "mix"
+) -> DataFrame:
+    """Per-group mixture: keep each row iff its bucket < its group's rate
+    percentage (``rate_col`` — any integer column expression, e.g. a CASE
+    over the source column or a joined-in rates dimension)."""
+    return df.filter(portable_bucket(F.col(id_col), 100, salt) < rate_col)
