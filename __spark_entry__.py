@@ -1402,25 +1402,6 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY 1
             ) ORDER BY n DESC, token LIMIT 100
         """,
-        # q42: the 60-bit md5-prefix bucket is bit-portable between engines
-        # (same recipe as the fingerprint oracles)
-        "q42_mixture_sample": """
-            WITH b AS (
-              SELECT doc_id, source,
-                     10 + (substr(source, 4)::INT * 4) % 80 AS rate_pct,
-                     ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
-                       % 100 AS bucket
-              FROM documents
-            )
-            SELECT doc_id, source, rate_pct, bucket
-            FROM b WHERE bucket < rate_pct ORDER BY doc_id
-        """,
-        # q41: whichever duplicate the stream keeps, the kept-set's hashes
-        # equal the distinct content-hash set — order-independent oracle
-        "q41_streaming_dedup": """
-            SELECT DISTINCT sha256(text) AS text_sha256
-            FROM documents ORDER BY text_sha256
-        """,
         "q40_decontaminate": """
             WITH tok AS (
               SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1437,5 +1418,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_eval_shingles
             FROM sh JOIN ev USING (shingle)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # q41: whichever duplicate the stream keeps, the kept-set's hashes
+        # equal the distinct content-hash set — order-independent oracle
+        "q41_streaming_dedup": """
+            SELECT DISTINCT sha256(text) AS text_sha256
+            FROM documents ORDER BY text_sha256
+        """,
+        # q42: the 60-bit md5-prefix bucket is bit-portable between engines
+        # (same recipe as the shingle-hash oracles)
+        "q42_mixture_sample": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     10 + (substr(source, 4)::INT * 4) % 80 AS rate_pct,
+                     ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 100 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, source, rate_pct, bucket
+            FROM b WHERE bucket < rate_pct ORDER BY doc_id
         """,
     }

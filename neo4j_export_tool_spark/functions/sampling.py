@@ -21,11 +21,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from neo4j_export_tool_spark.functions.similarity import shingle_hash_col
+
 
 def portable_bucket(col: Column, n_buckets: int = 100, salt: str = "mix") -> Column:
-    """Deterministic engine-portable bucket in [0, n_buckets)."""
+    """Deterministic engine-portable bucket in [0, n_buckets) — the same
+    60-bit md5-prefix hash the shingle joins use (`shingle_hash_col`)."""
     key = F.concat(F.lit(salt + ":"), col.cast("string"))
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % n_buckets
+    return shingle_hash_col(key) % n_buckets
 
 
 def hash_sample(

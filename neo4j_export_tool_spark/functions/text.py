@@ -116,7 +116,9 @@ def top_token_counts(df, text_col: str, id_col: str):
     high-cardinality and unskewed (a single doc's tokens land together but
     one doc is bounded), so both shuffles partition evenly at any corpus
     size — no per-doc O(n²) higher-order scan."""
-    toks = F.split(F.col(text_col), " ")
+    from neo4j_export_tool_spark.functions.similarity import tokens_col
+
+    toks = tokens_col(F.col(text_col))
     per_tok = (
         df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tok"))
         .groupBy("doc", "tok")
@@ -131,7 +133,9 @@ def corpus_vocab(df, text_col: str, k: int = 100):
     groupBy + partial top-k per partition (Spark's sort+limit pushes the
     limit into each partition), so the full vocabulary never concentrates
     on one node."""
-    toks = F.split(F.col(text_col), " ")
+    from neo4j_export_tool_spark.functions.similarity import tokens_col
+
+    toks = tokens_col(F.col(text_col))
     return (
         df.select(F.explode(toks).alias("token"))
         .groupBy("token")
