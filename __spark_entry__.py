@@ -885,6 +885,43 @@ def _q42_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q43_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: diff an OLD document snapshot (derived
+    deterministically in-query: docs %97 missing → "added", docs %10 with
+    different text → "changed", synthetic retired docs → "removed")
+    against the current table, re-extract mentions ONLY for the delta,
+    and emit upsert/tombstone operations.  Cost scales with |delta|, not
+    corpus size — the incremental posture the north rule asks for,
+    driver-visible with a closed-form oracle."""
+    from neo4j_export_tool_spark.plans.incremental import (
+        incremental_mention_delta,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.select("doc_id", "text")
+    old_docs = (
+        docs.filter(F.col("doc_id") % 97 != 0)  # %97 docs become "added"
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.col("text"), F.lit(" legacy")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(  # retired docs present only in the old snapshot
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("retired "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return incremental_mention_delta(old_docs, new_docs).orderBy(
+        "doc_id", "concept", "op"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -929,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_decontaminate": _q40_decontaminate,
         "q41_streaming_dedup": _q41_streaming_dedup,
         "q42_mixture_sample": _q42_mixture_sample,
+        "q43_incremental_delta": _q43_incremental_delta,
     }
 
 
@@ -1437,5 +1475,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, rate_pct, bucket
             FROM b WHERE bucket < rate_pct ORDER BY doc_id
+        """,
+        # q43: upserts = full mention set of added (%97) ∪ changed (%10)
+        # docs; tombstones = the synthetic retired ids — both closed-form
+        "q43_incremental_delta": f"""
+            {_MENTIONS_CTE}
+            SELECT doc_id, concept, n_occurrences, first_offset,
+                   'upsert' AS op
+            FROM mentions WHERE doc_id % 97 = 0 OR doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, NULL AS concept,
+                   NULL AS n_occurrences, NULL AS first_offset,
+                   'delete_doc' AS op
+            FROM documents WHERE doc_id % 13 = 0
+            ORDER BY doc_id, concept, op
         """,
     }
