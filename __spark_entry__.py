@@ -922,6 +922,40 @@ def _q43_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q44_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph materialization as bucketed managed tables (SURVEY §2.1 S11,
+    parquet half): nodes bucketed by element_id, edges bucketed by
+    start_element_id and partitioned by relationship type, then the J1
+    hash-lookup join re-run OVER THE TABLES (equal bucket counts → no
+    exchange on the join key).  The read-back join must reproduce the
+    closed-form node-hash oracle, making the table round trip
+    driver-visible; the shuffle-free plan property is pinned in
+    tests/test_tables.py."""
+    from neo4j_export_tool_spark.plans.flagship import documents_kg
+    from neo4j_export_tool_spark.sources.tables import (
+        colocated_hash_join,
+        save_graph_tables,
+    )
+
+    _ensure_shipped(spark)
+    nodes, hashed = documents_kg(spark, sf_dir)
+    edges = hashed.select("start_element_id", "end_element_id", "label")
+    nt, et = save_graph_tables(
+        spark,
+        nodes.select("element_id", "content_hash"),
+        edges,
+        prefix="q44kg",
+        n_buckets=8,
+    )
+    return (
+        colocated_hash_join(spark, nt, et)
+        .select(
+            "start_element_id", "end_element_id", "start_node_content_hash"
+        )
+        .orderBy("start_element_id", "end_element_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -967,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_streaming_dedup": _q41_streaming_dedup,
         "q42_mixture_sample": _q42_mixture_sample,
         "q43_incremental_delta": _q43_incremental_delta,
+        "q44_graph_tables": _q44_graph_tables,
     }
 
 
@@ -1489,5 +1524,15 @@ def oracle_sql() -> dict[str, str]:
                    'delete_doc' AS op
             FROM documents WHERE doc_id % 13 = 0
             ORDER BY doc_id, concept, op
+        """,
+        # q44: the bucketed-table round trip must reproduce the same
+        # closed-form node hashes q07 pins
+        "q44_graph_tables": f"""
+            {_MENTIONS_CTE}
+            SELECT 'doc:' || mentions.doc_id AS start_element_id,
+                   'concept:' || concept AS end_element_id,
+                   {_DOC_NODE_HASH} AS start_node_content_hash
+            FROM mentions JOIN documents USING (doc_id)
+            ORDER BY start_element_id, end_element_id
         """,
     }
