@@ -938,13 +938,19 @@ def _q44_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
+    # managed tables default to $PWD/spark-warehouse — pin the gate's
+    # database to a tmp location so a read-only caller cwd can't fail it
+    import tempfile as _tf
+
+    db_loc = _tf.mkdtemp(prefix="q44-warehouse-")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS q44db LOCATION '{db_loc}'")
     nodes, hashed = documents_kg(spark, sf_dir)
     edges = hashed.select("start_element_id", "end_element_id", "label")
     nt, et = save_graph_tables(
         spark,
         nodes.select("element_id", "content_hash"),
         edges,
-        prefix="q44kg",
+        prefix="q44db.q44kg",
         n_buckets=8,
     )
     return (
