@@ -910,9 +910,10 @@ def _q43_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("text"))
             .alias("text"),
         )
-        .unionByName(  # retired docs present only in the old snapshot
+        .unionByName(  # retired docs present only in the old snapshot —
+            # negative ids can never collide with live doc_ids at ANY sf
             docs.filter(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (-(F.col("doc_id") + 1)).alias("doc_id"),
                 F.concat(F.lit("retired "), F.col("text")).alias("text"),
             )
         )
@@ -931,7 +932,14 @@ def _q44_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form node-hash oracle, making the table round trip
     driver-visible; the shuffle-free plan property is pinned in
     tests/test_tables.py."""
-    from neo4j_export_tool_spark.plans.flagship import documents_kg
+    from neo4j_export_tool_spark.operators.graph import nodes_union
+    from neo4j_export_tool_spark.plans.flagship import (
+        concept_nodes,
+        doc_mentions,
+        document_nodes,
+        load_documents,
+        mention_edges,
+    )
     from neo4j_export_tool_spark.sources.tables import (
         colocated_hash_join,
         save_graph_tables,
@@ -940,12 +948,21 @@ def _q44_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_shipped(spark)
     # managed tables default to $PWD/spark-warehouse — pin the gate's
     # database to a tmp location so a read-only caller cwd can't fail it
-    import tempfile as _tf
+    # (mkdtemp only when the database doesn't exist yet: CREATE ... IF NOT
+    # EXISTS ignores the LOCATION on later calls and the dir would leak)
+    if not spark.catalog.databaseExists("q44db"):
+        import tempfile as _tf
 
-    db_loc = _tf.mkdtemp(prefix="q44-warehouse-")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS q44db LOCATION '{db_loc}'")
-    nodes, hashed = documents_kg(spark, sf_dir)
-    edges = hashed.select("start_element_id", "end_element_id", "label")
+        db_loc = _tf.mkdtemp(prefix="q44-warehouse-")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS q44db LOCATION '{db_loc}'")
+    # build nodes and RAW edges directly — the hash-attach join happens
+    # over the TABLES below; running documents_kg's attach first would
+    # execute the same join twice per gate run
+    docs = load_documents(spark, sf_dir)
+    nodes = nodes_union(document_nodes(docs), concept_nodes(spark))
+    edges = mention_edges(doc_mentions(docs)).select(
+        "start_element_id", "end_element_id", "label"
+    )
     nt, et = save_graph_tables(
         spark,
         nodes.select("element_id", "content_hash"),
@@ -1518,14 +1535,20 @@ def oracle_sql() -> dict[str, str]:
             FROM b WHERE bucket < rate_pct ORDER BY doc_id
         """,
         # q43: upserts = full mention set of added (%97) ∪ changed (%10)
-        # docs; tombstones = the synthetic retired ids — both closed-form
+        # docs; tombstones = removed (retired, negative ids) ∪ changed
+        # docs (changed docs are cleared before their upserts re-land —
+        # a changed doc with zero mentions must still drop its old edges)
         "q43_incremental_delta": f"""
             {_MENTIONS_CTE}
             SELECT doc_id, concept, n_occurrences, first_offset,
                    'upsert' AS op
             FROM mentions WHERE doc_id % 97 = 0 OR doc_id % 10 = 0
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, NULL AS concept,
+            SELECT doc_id, NULL AS concept, NULL AS n_occurrences,
+                   NULL AS first_offset, 'delete_doc' AS op
+            FROM documents WHERE doc_id % 10 = 0 AND doc_id % 97 != 0
+            UNION ALL
+            SELECT -(doc_id + 1) AS doc_id, NULL AS concept,
                    NULL AS n_occurrences, NULL AS first_offset,
                    'delete_doc' AS op
             FROM documents WHERE doc_id % 13 = 0

@@ -26,19 +26,29 @@ from pyspark.sql import functions as F
 def doc_changes(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
     """(doc_id, change) where change ∈ added | changed | removed.
 
-    Unchanged docs (same content hash) are absent — the whole point."""
+    Unchanged docs (null-safe same content hash) are absent — the whole
+    point.  Presence is tracked with explicit flags, NOT hash nullability:
+    a doc with NULL text still EXISTS, and conflating "hash is null" with
+    "row is absent" would report it removed (tombstoning a live doc) or
+    re-add it every run."""
     oldh = old_docs.select(
-        "doc_id", F.sha2(F.col("text"), 256).alias("old_hash")
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("old_hash"),
+        F.lit(True).alias("in_old"),
     )
     newh = new_docs.select(
-        "doc_id", F.sha2(F.col("text"), 256).alias("new_hash")
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("new_hash"),
+        F.lit(True).alias("in_new"),
     )
     j = oldh.join(newh, "doc_id", "full_outer")
     return j.select(
         "doc_id",
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("changed")
+        )
         .alias("change"),
     ).filter(F.col("change").isNotNull())
 
@@ -46,13 +56,17 @@ def doc_changes(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
 def incremental_mention_delta(
     old_docs: DataFrame, new_docs: DataFrame
 ) -> DataFrame:
-    """Delta operations for the MENTIONS edge set:
+    """Delta operations for the MENTIONS edge set.  The sink applies ALL
+    deletes first, then the upserts — both passes idempotent:
 
+    - ``op='delete_doc'`` — one tombstone per removed doc AND per changed
+      doc (the sink drops all edges keyed by that doc).  Changed docs need
+      the tombstone too: a doc whose new text mentions NOTHING emits zero
+      upsert rows, and without the tombstone its stale edges would survive
+      forever.  Added docs have no prior edges — no tombstone.
     - ``op='upsert'`` — one row per (doc, concept) mention of every added
-      or changed doc (the sink replaces that doc's edge set wholesale:
-      per-doc replacement is idempotent, so retries are safe);
-    - ``op='delete_doc'`` — one tombstone per removed doc (the sink drops
-      all edges keyed by that doc).
+      or changed doc (applied after that doc's tombstone → wholesale
+      per-doc replacement).
     """
     from neo4j_export_tool_spark.plans.flagship import doc_mentions
 
@@ -68,7 +82,9 @@ def incremental_mention_delta(
         "first_offset",
         F.lit("upsert").alias("op"),
     )
-    deletes = changes.filter(F.col("change") == "removed").select(
+    deletes = changes.filter(
+        F.col("change").isin("removed", "changed")
+    ).select(
         "doc_id",
         F.lit(None).cast("string").alias("concept"),
         F.lit(None).cast("long").alias("n_occurrences"),

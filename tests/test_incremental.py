@@ -39,7 +39,9 @@ def test_incremental_delta_ops(spark):
     ups = {(r["doc_id"], r["concept"]) for r in rows if r["op"] == "upsert"}
     dels = {r["doc_id"] for r in rows if r["op"] == "delete_doc"}
     assert ups == {(2, "merge"), (4, "scan"), (4, "filter")}
-    assert dels == {3}
+    # tombstones: removed doc 3 AND changed doc 2 (cleared before its
+    # upserts re-land); added doc 4 has no prior edges → none
+    assert dels == {2, 3}
     # upserted rows carry real counts; tombstones carry nulls
     for r in rows:
         if r["op"] == "upsert":
@@ -59,3 +61,26 @@ def test_delta_extraction_touches_only_delta_docs(spark):
     # doc 1's mentions (hash, join) would appear if the full corpus were
     # re-extracted; only doc 2's delta may be present
     assert {r["doc_id"] for r in out.collect()} == {2}
+
+
+def test_changed_doc_losing_all_mentions_is_tombstoned(spark):
+    """A changed doc whose NEW text mentions nothing must still clear its
+    old edges — zero upsert rows alone would leave them stale forever."""
+    old = _docs(spark, [(1, "hash join everywhere")])
+    new = _docs(spark, [(1, "nothing relevant anymore")])
+    rows = incremental_mention_delta(old, new).collect()
+    assert [(r["doc_id"], r["op"]) for r in rows] == [(1, "delete_doc")]
+
+
+def test_null_text_presence_semantics(spark):
+    """NULL text is a VALUE, not absence: a doc whose text becomes NULL is
+    'changed' (tombstone + no upserts), never 'removed'; NULL-on-both-sides
+    is unchanged (no rows)."""
+    from neo4j_export_tool_spark.plans.incremental import doc_changes
+
+    old = _docs(spark, [(1, "hash it"), (2, None)])
+    new = _docs(spark, [(1, None), (2, None)])
+    got = {r["doc_id"]: r["change"] for r in doc_changes(old, new).collect()}
+    assert got == {1: "changed"}
+    rows = incremental_mention_delta(old, new).collect()
+    assert [(r["doc_id"], r["op"]) for r in rows] == [(1, "delete_doc")]
