@@ -979,8 +979,29 @@ def _q44_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_package(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Every gate ships the package to the caller's executors first
+    (idempotent, one-time per session): the driver passes its OWN bare
+    SparkSession, and from a cwd outside the repo the Python workers
+    cannot otherwise import the pandas-UDF kernels."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        name: _with_package(fn)
+        for name, fn in _QUERIES.items()
+    }
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_keyset_scan": _q02_keyset_scan,
         "q03_per_label_stats": _q03_per_label_stats,
