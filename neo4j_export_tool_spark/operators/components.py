@@ -162,6 +162,22 @@ def connected_components(
     ).distinct()
     sym = sym.persist()
     n_edges = sym.count()  # materializes the persist; sizes the loop
+    if n_edges == 0:
+        # empty edge list → empty component map (isolated vertices are the
+        # CALLER's fallback, as documented); skip the loop machinery — the
+        # common case for alias clustering over a clean vocabulary
+        sym.unpersist()
+        id_type = next(
+            f.dataType.simpleString() for f in edges.schema if f.name == src
+        )
+        return CCResult(
+            components=edges.sparkSession.createDataFrame(
+                [], f"id {id_type}, component {id_type}"
+            ),
+            iterations=0,
+            converged=True,
+            round_timings=None,
+        )
 
     spark = edges.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -162,17 +162,21 @@ def minhash_lsh_pairs_from_sets(
     the generic entry used for both document near-dup (word shingles) and
     surface-form canonicalization (char shingles).
 
-    Signatures are computed as k ``min`` aggregates over the exploded
-    (doc, shingle-hash) posting list: each shingle is md5-hashed exactly
-    once and everything stays in whole-stage codegen (the array-HOF
-    formulation recomputes the hash per signature slot — Catalyst does not
-    CSE lambda subtrees).  The explode+groupBy shuffles on doc id, which is
-    uniform; at 10^12 docs this is the linear-cost stage, and band-bucket
-    join cost is bounded by bucket occupancy, not n²."""
+    Signature stage: shingles are md5-hashed JVM-side (one array
+    expression, `hashed_shingles_col`), then the k minima and band keys
+    are computed in ONE Arrow-batched numpy kernel — SHUFFLE-FREE (the
+    previous explode → 64-min-agg groupBy both shuffled the posting list
+    AND carried a plan so large that Catalyst compile time dominated
+    small inputs; measured seconds per query regardless of data size).
+    The kernel's integer math — min((h·a + b) mod p) over int64, products
+    < 2⁶² — and its md5-of-":"-joined-decimal band keys are bit-identical
+    to the old expression form, so candidate generation (and therefore
+    the verified output) is unchanged.  At 10^12 docs the signature stage
+    is now a linear map; only the band-bucket join shuffles."""
     from neo4j_export_tool_spark.functions.similarity import (
         MERSENNE_PRIME,
         _lcg,
-        shingle_hash_col,
+        hashed_shingles_col,
     )
 
     rows = k // bands
@@ -183,45 +187,51 @@ def minhash_lsh_pairs_from_sets(
         b = next(rnd) % MERSENNE_PRIME
         params.append((a, b))
 
-    # the shingle-set plan feeds the posting list AND both verify joins;
-    # materialize it once (blocks freed when the plan is GC'd)
+    # the shingle-set plan feeds the signature kernel AND both verify
+    # joins; materialize it once (blocks freed when the plan is GC'd)
     sets = _materialize(sets, use_local_checkpoint)
 
-    posting = sets.select(
-        "doc", F.explode("shingles").alias("sh")
-    ).withColumn("h", shingle_hash_col(F.col("sh")) % F.lit(MERSENNE_PRIME))
-    sigs = posting.groupBy("doc").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)).alias(
-                f"m{i}"
-            )
-            for i, (a, b) in enumerate(params)
-        ]
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = next(
+        f.dataType.simpleString() for f in sets.schema if f.name == "doc"
     )
-    banded = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                *[
-                                    F.col(f"m{band * rows + r}").cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("key"),
-                    )
-                    for band in range(bands)
-                ]
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+
+    def band_keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs_out: list = []
+            bands_out: list = []
+            keys_out: list = []
+            for doc, hs in zip(pdf["doc"], pdf["hs"]):
+                if hs is None or not len(hs):
+                    continue
+                h = np.asarray(hs, dtype=np.int64)
+                sig = ((h[:, None] * A[None, :]) + B[None, :]) % MERSENNE_PRIME
+                m = sig.min(axis=0)
+                for band in range(bands):
+                    key = hashlib.md5(
+                        ":".join(
+                            str(int(m[band * rows + r])) for r in range(rows)
+                        ).encode()
+                    ).hexdigest()
+                    docs_out.append(doc)
+                    bands_out.append(band)
+                    keys_out.append(key)
+            yield pd.DataFrame(
+                {"doc": docs_out, "band": bands_out, "key": keys_out}
             )
-        ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # the band table self-joins: materialize so the k-min signature groupBy
-    # runs once, not once per join side
+
+    banded = sets.select(
+        "doc", hashed_shingles_col(F.col("shingles")).alias("hs")
+    ).mapInPandas(band_keys, schema=f"doc {id_type}, band int, key string")
+    # the band table self-joins: materialize so the signature kernel runs
+    # once, not once per join side
     banded = _materialize(banded, use_local_checkpoint)
 
     a = banded.alias("a")
