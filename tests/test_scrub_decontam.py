@@ -104,3 +104,41 @@ def test_decontaminate_overlap_counts(spark):
         for r in decontaminate(docs, eval_docs, shingle_n=5).collect()
     }
     assert rows == {1: 2}
+
+
+def test_pii_patterns_match_python_re(spark):
+    """The PII patterns are claimed to live in the Java-regex ∩ RE2 common
+    subset; cross-check a third dialect (Python re) over adversarial
+    inputs — if all three agree, the oracle-parity claim rests on the
+    pattern subset, not on luck."""
+    import re as _re
+
+    from neo4j_export_tool_spark.functions.scrub import PII_PATTERNS
+
+    samples = [
+        "a@b.co x@y.z 1.2.3.4 999-999-9999",
+        "no pii at all, just 1.2 and 12-34-5678",
+        "edge: a.b-c_d%e+f@host-name.sub.example.travel!",
+        "ip-ish 999.999.999.999 and 1.2.3.4.5 chains",
+        "phones 555-000-0000,123-456-7890. done",
+        "tight:a@b.cc|1.1.1.1|111-222-3333|end",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    from pyspark.sql import functions as F
+
+    got = (
+        df.select(
+            "text",
+            *[
+                F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)).alias(kind)
+                for kind, pat, _ in PII_PATTERNS
+            ],
+        )
+        .collect()
+    )
+    for row in got:
+        for kind, pat, _ in PII_PATTERNS:
+            assert row[kind] == _re.findall(pat, row["text"]), (
+                kind,
+                row["text"],
+            )
