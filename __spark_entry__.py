@@ -979,6 +979,20 @@ def _q44_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q45_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of the embeddings table (int8-ranged codes,
+    fixed global scale) — the memory lever under ANN at corpus scale.
+    Pure column exprs; integer-exact across engines, so the oracle
+    recomputes every code.  Restricted to vec_id < 100: the gate checks
+    the ARITHMETIC, not 64 rows per vector times the corpus."""
+    from neo4j_export_tool_spark.functions.quantize import scalar_quantize
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return scalar_quantize(emb, "embedding", "vec_id", levels=64).orderBy(
+        "vec_id", "pos"
+    )
+
+
 def _with_package(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -1046,6 +1060,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q42_mixture_sample": _q42_mixture_sample,
         "q43_incremental_delta": _q43_incremental_delta,
         "q44_graph_tables": _q44_graph_tables,
+        "q45_embedding_quantize": _q45_embedding_quantize,
     }
 
 
@@ -1574,6 +1589,20 @@ def oracle_sql() -> dict[str, str]:
                    'delete_doc' AS op
             FROM documents WHERE doc_id % 13 = 0
             ORDER BY doc_id, concept, op
+        """,
+        # q45: IEEE double product + FLOOR + value-preserving int cast —
+        # bit-identical in any engine
+        "q45_embedding_quantize": """
+            SELECT vec_id, u.pos AS pos, u.code AS code FROM (
+              SELECT vec_id, unnest(list_transform(
+                range(1, len(v) + 1),
+                i -> {'pos': i - 1,
+                      'code': CAST(greatest(least(FLOOR(v[i] * 64), 63), -64)
+                                   AS INT)}
+              )) AS u
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 100)
+            ) ORDER BY vec_id, pos
         """,
         # q44: the bucketed-table round trip must reproduce the same
         # closed-form node hashes q07 pins

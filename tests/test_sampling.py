@@ -28,3 +28,19 @@ def test_hash_sample_salt_independence(spark):
     b = {r["doc_id"] for r in hash_sample(df, "doc_id", 50, salt="b").collect()}
     overlap = len(a & b) / max(len(a), 1)
     assert 0.3 < overlap < 0.7  # ~50% expected for independent halves
+
+
+def test_scalar_quantize_closed_form(spark):
+    """Codes on crafted values: negatives floor toward -inf, extremes
+    clamp to [-levels, levels-1]."""
+    from neo4j_export_tool_spark.functions.quantize import scalar_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, -0.5, 0.999, -0.001, 5.0, -5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["pos"]: r["code"]
+        for r in scalar_quantize(df, "embedding", "vec_id", levels=64).collect()
+    }
+    assert rows == {0: 0, 1: 32, 2: -32, 3: 63, 4: -1, 5: 63, 6: -64}
