@@ -107,13 +107,48 @@ def jaccard_pairs(
             "shingle",
             "left_semi",
         )
-    a = posting.alias("a")
-    b = posting.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+        # with df bounded, pair generation per shingle is ≤ df(df-1)/2 —
+        # group the (sorted) doc list per shingle and emit i<j pairs with
+        # one HOF explode instead of the posting self-join: one fewer
+        # exchange and no sort-merge of shingle strings.  ONLY safe under
+        # pruning: an unbounded collect_list on a hot shingle is exactly
+        # the skew bomb the prune exists to kill.
+        lists = (
+            posting.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+            .filter(F.size("docs") >= 2)
+        )
+        pairs = lists.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("docs") - 2),
+                        lambda i: F.transform(
+                            F.sequence(i + F.lit(1), F.size("docs") - 1),
+                            lambda j: F.struct(
+                                F.element_at(F.col("docs"), i + 1).alias("doc_a"),
+                                F.element_at(F.col("docs"), j + 1).alias("doc_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.doc_a", "p.doc_b")
+        shared = pairs.groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("shared")
+        )
+    else:
+        a = posting.alias("a")
+        b = posting.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     out = (
         shared.join(sizes.withColumnsRenamed({"doc": "doc_a", "n": "n_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc": "doc_b", "n": "n_b"}), "doc_b")
