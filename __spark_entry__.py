@@ -949,11 +949,17 @@ def _q44_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     # managed tables default to $PWD/spark-warehouse — pin the gate's
     # database to a tmp location so a read-only caller cwd can't fail it
     # (mkdtemp only when the database doesn't exist yet: CREATE ... IF NOT
-    # EXISTS ignores the LOCATION on later calls and the dir would leak)
+    # EXISTS ignores the LOCATION on later calls and the dir would leak).
+    # The dir must outlive the session's table reads, so cleanup is
+    # deferred to interpreter exit (round-3 verdict item #6 — same atexit
+    # pattern as jsonl_source._ZST_SCRATCH_DIRS).
     if not spark.catalog.databaseExists("q44db"):
+        import atexit as _atexit
+        import shutil as _sh
         import tempfile as _tf
 
         db_loc = _tf.mkdtemp(prefix="q44-warehouse-")
+        _atexit.register(_sh.rmtree, db_loc, ignore_errors=True)
         spark.sql(f"CREATE DATABASE IF NOT EXISTS q44db LOCATION '{db_loc}'")
     # build nodes and RAW edges directly — the hash-attach join happens
     # over the TABLES below; running documents_kg's attach first would

@@ -830,7 +830,11 @@ def export_jsonl(
                 # only Py4J byte traffic is the small metadata/tail strings
                 jvm = spark.sparkContext._jvm
                 fos = jvm.java.io.FileOutputStream(tmp_path)
-                zos = jvm.com.github.luben.zstd.ZstdOutputStream(fos)
+                try:
+                    zos = jvm.com.github.luben.zstd.ZstdOutputStream(fos)
+                except Exception:
+                    fos.close()  # constructor failure must not leak the JVM handle
+                    raise
                 try:
                     zos.write(bytearray((dumps(metadata) + "\n").encode("utf-8")))
                     for part in part_files:

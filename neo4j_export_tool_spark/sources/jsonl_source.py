@@ -46,15 +46,30 @@ class ImportedExport:
 
 
 # decompressed .zst scratch dirs: must outlive the lazy DataFrames built
-# over them, so they are reclaimed at interpreter exit, not per-call
+# over them, so they are reclaimed at interpreter exit, not per-call.
+# _ZST_SCRATCH_CACHE keys a scratch dir by (source path, mtime, size) so a
+# long-lived session re-importing the same export reuses one decompressed
+# copy instead of growing disk without bound (round-3 advice item); a
+# changed mtime/size invalidates the stale entry eagerly.
 _ZST_SCRATCH_DIRS: list[str] = []
+_ZST_SCRATCH_CACHE: dict[str, tuple[tuple[float, int], str]] = {}
 
 
 def _cleanup_zst_scratch() -> None:
     import shutil
 
+    _ZST_SCRATCH_CACHE.clear()
     while _ZST_SCRATCH_DIRS:
         shutil.rmtree(_ZST_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+def cleanup_zst_scratch() -> None:
+    """Explicit scratch reclaim hook: callers that have fully drained the
+    DataFrames built over imported ``.zst`` exports can release the
+    decompressed copies immediately instead of waiting for interpreter
+    exit.  Any still-lazy DataFrame over a reclaimed file will fail its
+    next action — only call once results are materialized."""
+    _cleanup_zst_scratch()
 
 
 def _materialize_zst(spark: SparkSession, path: str) -> str:
@@ -62,10 +77,26 @@ def _materialize_zst(spark: SparkSession, path: str) -> str:
     can scan.  Decompression runs JVM-side (zstd-jni ``ZstdInputStream`` →
     ``Files.copy``), no Py4J byte traffic.  The temp file must outlive the
     lazy DataFrames built over it, so cleanup is deferred to interpreter
-    exit (atexit) rather than per-call — bounding the leak the scratch
-    copy would otherwise be on long-lived hosts."""
+    exit (atexit) rather than per-call, and repeated imports of the same
+    unchanged file reuse one cached copy."""
     import atexit
+    import shutil
     import tempfile
+
+    key = os.path.abspath(path)
+    st = os.stat(path)
+    stamp = (st.st_mtime, st.st_size)
+    hit = _ZST_SCRATCH_CACHE.get(key)
+    if hit is not None:
+        old_stamp, out = hit
+        if old_stamp == stamp and os.path.exists(out):
+            return out
+        # source changed under the same path: evict the stale copy now
+        stale_dir = os.path.dirname(out)
+        if stale_dir in _ZST_SCRATCH_DIRS:
+            _ZST_SCRATCH_DIRS.remove(stale_dir)
+        shutil.rmtree(stale_dir, ignore_errors=True)
+        del _ZST_SCRATCH_CACHE[key]
 
     scratch = tempfile.mkdtemp(prefix="jsonl-zst-")
     if not _ZST_SCRATCH_DIRS:
@@ -89,6 +120,7 @@ def _materialize_zst(spark: SparkSession, path: str) -> str:
         )
     finally:
         zis.close()
+    _ZST_SCRATCH_CACHE[key] = (stamp, out)
     return out
 
 

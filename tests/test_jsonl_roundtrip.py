@@ -117,6 +117,30 @@ def test_zstd_export_roundtrip(spark, sf_dir, tmp_path):
     assert bad == 0
 
 
+def test_zst_scratch_reuse_and_invalidation(spark, sf_dir, tmp_path):
+    """Re-importing the same unchanged .zst reuses one decompressed scratch
+    copy (long-lived sessions must not grow disk per import); changing the
+    source under the same path evicts the stale copy."""
+    import os
+    import time as _time
+
+    from neo4j_export_tool_spark.sources import jsonl_source as src_mod
+
+    nodes, hashed = documents_kg(spark, sf_dir)
+    res = export_jsonl(
+        nodes, with_properties_json(hashed), str(tmp_path), db_name="zs",
+        compression="zstd", sort_lines=False,
+    )
+    p1 = src_mod._materialize_zst(spark, res.path)
+    p2 = src_mod._materialize_zst(spark, res.path)
+    assert p1 == p2, "unchanged source must reuse the cached scratch copy"
+
+    os.utime(res.path, (_time.time() + 5, _time.time() + 5))
+    p3 = src_mod._materialize_zst(spark, res.path)
+    assert p3 != p1, "mtime change must invalidate the cache"
+    assert not os.path.exists(p1), "stale scratch copy must be evicted"
+
+
 def test_zstd_dir_mode_rejected(spark, sf_dir, tmp_path):
     """Executor-parallel zstd needs the Hadoop native codec (absent here):
     dir-mode zstd must fail loudly, not silently write something else."""
