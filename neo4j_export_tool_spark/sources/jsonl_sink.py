@@ -625,23 +625,28 @@ def export_jsonl(
     ``.gz`` suffix — the practical choice at 100 TB.
 
     ``compression="zstd"``: the format the reference's CompressionHints
-    recommend (``Database/Metadata.fs:344-352``).  Executors write plain
-    text parts (this container's Hadoop lacks the native zstd codec);
-    the driver then streams them through the JVM's bundled zstd-jni
-    ``ZstdOutputStream`` — all byte movement stays JVM-side via
-    ``Files.copy``, no Py4J row traffic.  Driver-sequential compression
-    only fits the single-file layout (which is already driver-assembled
-    by contract); dir-mode callers wanting executor-parallel compression
-    use gzip.
+    recommend (``Database/Metadata.fs:344-352``).  On sessions created by
+    ``get_spark`` the write tasks emit per-part ``.zst`` frames directly
+    (custom zstd-jni Hadoop codec, ``sources/zstd_codec.py``) — executor-
+    parallel compression, valid for both layouts since zstd frames
+    concatenate like gzip members (RFC 8878).  Externally created sessions
+    (no classpath jar) fall back to compressing the plain parts through a
+    pool of JVM streams on the driver; either way the bytes on disk are
+    identical-format multi-frame zstd.
     """
     if compression not in ("none", "gzip", "zstd"):
         raise ValueError(f"unsupported compression: {compression!r}")
-    if compression == "zstd" and not single_file:
-        raise ValueError(
-            "zstd is single_file-only: executor-parallel zstd needs the "
-            "Hadoop native codec (unavailable here); use compression='gzip' "
-            "for dir mode"
+    use_zstd_codec = False
+    if compression == "zstd":
+        from neo4j_export_tool_spark.sources.zstd_codec import (
+            codec_loadable,
+            register_read_codecs,
         )
+
+        use_zstd_codec = codec_loadable(nodes.sparkSession)
+        if use_zstd_codec:
+            # the stats job below reads the written .zst parts back
+            register_read_codecs(nodes.sparkSession)
     t0 = time.perf_counter()
     export_id = export_id or str(uuid.uuid4())
     started = time.gmtime()
@@ -703,8 +708,17 @@ def export_jsonl(
             all_lines = node_out.select(
                 F.lit(0).alias("sec"), "line"
             ).unionByName(rel_out.select(F.lit(1).alias("sec"), "line"))
-            # zstd parts stay plain: the driver compresses during concat
-            _wopt = {"compression": compression} if compression == "gzip" else {}
+            if compression == "gzip":
+                _wopt = {"compression": "gzip"}
+            elif use_zstd_codec:
+                # executor-parallel zstd: parts land as ready .zst frames
+                from neo4j_export_tool_spark.sources.zstd_codec import CODEC_CLASS
+
+                _wopt = {"compression": CODEC_CLASS}
+            else:
+                # fallback zstd: plain parts, compressed by a driver-side
+                # JVM-stream pool after the stats readback
+                _wopt = {}
             if sort_lines:
                 # ONE write job: orderBy(sec, line) range-partitions, so
                 # part files in name order ARE globally ordered
@@ -732,7 +746,14 @@ def export_jsonl(
             # scale path: executor-written line files per section
             nodes_dir = os.path.join(out_dir, "nodes")
             rels_dir = os.path.join(out_dir, "relationships")
-            _wopt = {"compression": compression} if compression != "none" else {}
+            if compression == "gzip":
+                _wopt = {"compression": "gzip"}
+            elif compression == "zstd" and use_zstd_codec:
+                from neo4j_export_tool_spark.sources.zstd_codec import CODEC_CLASS
+
+                _wopt = {"compression": CODEC_CLASS}
+            else:
+                _wopt = {}
             if sort_lines:
                 # per-section global order needs one range-sort per section
                 node_out.orderBy("line").write.mode("overwrite").options(
@@ -825,29 +846,33 @@ def export_jsonl(
                 time.perf_counter() - t0, 6
             )
             if compression == "zstd":
-                # one zstd frame over (metadata, parts, tail): parts are
-                # copied JVM-side (Files.copy into ZstdOutputStream) — the
-                # only Py4J byte traffic is the small metadata/tail strings
-                jvm = spark.sparkContext._jvm
-                fos = jvm.java.io.FileOutputStream(tmp_path)
-                try:
-                    zos = jvm.com.github.luben.zstd.ZstdOutputStream(fos)
-                except Exception:
-                    fos.close()  # constructor failure must not leak the JVM handle
-                    raise
-                try:
-                    zos.write(bytearray((dumps(metadata) + "\n").encode("utf-8")))
-                    for part in part_files:
-                        jvm.java.nio.file.Files.copy(
-                            jvm.java.io.File(part).toPath(), zos
-                        )
-                    tail = "".join(
-                        dumps(rec) + "\n" for rec in err_records + warn_records
-                    )
-                    if tail:
-                        zos.write(bytearray(tail.encode("utf-8")))
-                finally:
-                    zos.close()
+                # multi-frame assembly (RFC 8878: concatenated frames are
+                # one valid stream): the bulk parts are ALREADY compressed —
+                # by the write tasks (codec path) or by a driver-side pool
+                # of JVM streams (fallback) — so assembly is a raw byte
+                # concat of (metadata frame, part frames, tail frame), all
+                # JVM-side; the driver never recompresses the data
+                from neo4j_export_tool_spark.sources.zstd_codec import (
+                    concat_files_jvm,
+                    parallel_compress_parts,
+                    write_bytes_frame,
+                )
+
+                if not use_zstd_codec:
+                    part_files = parallel_compress_parts(spark, part_files)
+                meta_frame = os.path.join(sections_dir, "zmeta.zst.frame")
+                write_bytes_frame(
+                    spark, (dumps(metadata) + "\n").encode("utf-8"), meta_frame
+                )
+                frames = [meta_frame] + part_files
+                tail = "".join(
+                    dumps(rec) + "\n" for rec in err_records + warn_records
+                )
+                if tail:
+                    tail_frame = os.path.join(sections_dir, "ztail.zst.frame")
+                    write_bytes_frame(spark, tail.encode("utf-8"), tail_frame)
+                    frames.append(tail_frame)
+                concat_files_jvm(spark, frames, tmp_path)
             elif compression == "gzip":
                 # gzip members concatenate into one valid stream (RFC 1952)
                 import gzip as _gzip
@@ -874,6 +899,21 @@ def export_jsonl(
             shutil.rmtree(sections_dir, ignore_errors=True)
             files = [final_path]
         else:
+            if compression == "zstd" and not use_zstd_codec:
+                # fallback lane: the plain parts (already stats-scanned)
+                # become one .zst frame each via the driver's JVM-stream
+                # pool — same on-disk format the codec path writes
+                import glob as _glob
+
+                from neo4j_export_tool_spark.sources.zstd_codec import (
+                    parallel_compress_parts,
+                )
+
+                parallel_compress_parts(
+                    spark,
+                    sorted(_glob.glob(os.path.join(nodes_dir, "part-*")))
+                    + sorted(_glob.glob(os.path.join(rels_dir, "part-*"))),
+                )
             metadata["export_manifest"]["total_export_duration_seconds"] = round(
                 time.perf_counter() - t0, 6
             )

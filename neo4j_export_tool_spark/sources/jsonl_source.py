@@ -124,13 +124,75 @@ def _materialize_zst(spark: SparkSession, path: str) -> str:
     return out
 
 
+def _materialize_zst_section(spark: SparkSession, section_dir: str) -> str:
+    """Fallback for sessions without the zstd codec on the classpath:
+    decompress a section directory's ``.zst`` parts into a cached scratch
+    dir (same (path, mtime, size) keying and atexit lifecycle as
+    single-file imports), parallelized across JVM streams."""
+    import atexit
+    import concurrent.futures as fut
+    import glob as _glob
+    import tempfile
+
+    from neo4j_export_tool_spark.sources.zstd_codec import decompress_file_jvm
+
+    parts = sorted(_glob.glob(os.path.join(section_dir, "*.zst")))
+    key = os.path.abspath(section_dir)
+    stamp = tuple((os.path.basename(p), os.path.getmtime(p), os.path.getsize(p)) for p in parts)
+    hit = _ZST_SCRATCH_CACHE.get(key)
+    if hit is not None:
+        old_stamp, out = hit
+        if old_stamp == stamp and os.path.isdir(out):
+            return out
+        import shutil
+
+        if out in _ZST_SCRATCH_DIRS:
+            _ZST_SCRATCH_DIRS.remove(out)
+        shutil.rmtree(out, ignore_errors=True)
+        del _ZST_SCRATCH_CACHE[key]
+
+    scratch = tempfile.mkdtemp(prefix="jsonl-zst-dir-")
+    if not _ZST_SCRATCH_DIRS:
+        atexit.register(_cleanup_zst_scratch)
+    _ZST_SCRATCH_DIRS.append(scratch)
+
+    def _one(p: str) -> None:
+        decompress_file_jvm(
+            spark, p, os.path.join(scratch, os.path.basename(p)[: -len(".zst")])
+        )
+
+    with fut.ThreadPoolExecutor(max_workers=min(8, max(1, len(parts)))) as pool:
+        list(pool.map(_one, parts))
+    _ZST_SCRATCH_CACHE[key] = (stamp, scratch)
+    return scratch
+
+
 def _lines_df(spark: SparkSession, path: str) -> DataFrame:
     if os.path.isdir(path):
+        import glob as _glob
+
+        from neo4j_export_tool_spark.sources.zstd_codec import (
+            codec_loadable,
+            register_read_codecs,
+        )
+
         sections = [
             os.path.join(path, d)
             for d in ("nodes", "relationships")
             if os.path.isdir(os.path.join(path, d))
         ]
+        zst_sections = [
+            s for s in sections if _glob.glob(os.path.join(s, "*.zst"))
+        ]
+        if zst_sections:
+            if codec_loadable(spark):
+                # transparent decompression in the read tasks
+                register_read_codecs(spark)
+            else:
+                sections = [
+                    _materialize_zst_section(spark, s) if s in zst_sections else s
+                    for s in sections
+                ]
         return spark.read.text(sections)
     df = spark.read.text(path)
     # drop the metadata line (the only line with format_version at top level)
