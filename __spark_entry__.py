@@ -999,6 +999,78 @@ def _q45_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q46_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE (round-4): merge table learned by the DISTRIBUTED
+    learner (``functions/bpe.py::learn_bpe`` — split → explode → groupBy →
+    driver-bounded greedy merges) over the fixed seed vocabulary, then the
+    whole documents table encoded distributed (vocabulary-bounded Arrow
+    encode kernel + broadcast join; corpus side is pure column exprs).
+    The seed corpus is scale-independent so the oracle can embed the
+    word→token map as closed-form literals computed by the pure-Python
+    twin; corpus-dependent learning equality is pytest-pinned
+    (tests/test_bpe.py)."""
+    from neo4j_export_tool_spark.functions.bpe import (
+        encode_bpe,
+        learn_bpe,
+        seed_corpus_lines,
+    )
+
+    seed = spark.createDataFrame(
+        [(line,) for line in seed_corpus_lines()], "text string"
+    )
+    merges = learn_bpe(seed, n_merges=24)
+    docs = _t(spark, sf_dir, "documents")
+    return encode_bpe(docs, merges).orderBy("doc_id")
+
+
+def _q46_oracle() -> str:
+    """Closed-form q46 oracle: the pure-Python BPE twin (independent of
+    Spark) learns the same seed merges and encodes the 31-word closed
+    vocabulary of the documents tables; the SQL joins that literal map."""
+    from neo4j_export_tool_spark.functions.bpe import (
+        BPE_SEED_VOCAB,
+        encode_word_reference,
+        learn_bpe_reference,
+        seed_word_counts,
+    )
+
+    merges = learn_bpe_reference(seed_word_counts(), 24)
+    ranks = {p: i for i, p in enumerate(merges)}
+    values = ",".join(
+        "('{w}', {n}, '{t}')".format(
+            w=w,
+            n=len(encode_word_reference(w, ranks)),
+            t="|".join(encode_word_reference(w, ranks)),
+        )
+        for w in BPE_SEED_VOCAB
+    )
+    return f"""
+        WITH m(word, n_tok, toks) AS (VALUES {values}),
+        words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ),
+        agg AS (
+          SELECT w.doc_id,
+                 CAST(SUM(m.n_tok) AS BIGINT) AS n_tokens,
+                 CAST(MAX(m.n_tok) AS INT) AS max_word_tokens
+          FROM words w JOIN m USING (word)
+          WHERE w.word <> ''
+          GROUP BY w.doc_id
+        ),
+        heads AS (
+          SELECT d.doc_id, m.toks AS head_tokens
+          FROM (SELECT doc_id, string_split(text, ' ')[1] AS word
+                FROM documents) d
+          JOIN m USING (word)
+        )
+        SELECT agg.doc_id, agg.n_tokens, agg.max_word_tokens,
+               heads.head_tokens
+        FROM agg JOIN heads USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
 def _with_package(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -1067,6 +1139,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q43_incremental_delta": _q43_incremental_delta,
         "q44_graph_tables": _q44_graph_tables,
         "q45_embedding_quantize": _q45_embedding_quantize,
+        "q46_bpe_encode": _q46_bpe_encode,
     }
 
 
@@ -1610,6 +1683,9 @@ def oracle_sql() -> dict[str, str]:
                     FROM embeddings WHERE vec_id < 100)
             ) ORDER BY vec_id, pos
         """,
+        # q46: learned-BPE encode — merge table is closed-form (fixed seed
+        # corpus), so the oracle embeds the pure-twin word→token map
+        "q46_bpe_encode": _q46_oracle(),
         # q44: the bucketed-table round trip must reproduce the same
         # closed-form node hashes q07 pins
         "q44_graph_tables": f"""
