@@ -31,6 +31,7 @@ import math
 import re
 from collections.abc import Iterator, Mapping
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -39,6 +40,17 @@ from pyspark.sql import functions as F
 def _trigrams(s: str) -> set[str]:
     s = f"  {s.lower()} "
     return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+def _reduce_sorted(weights: np.ndarray) -> float:
+    """THE canonical float fold for link scores: ``np.add.reduceat`` over
+    weights in lexicographically-sorted trigram order.  One fixed
+    reduction tree over one fixed element order → bit-identical across
+    processes, hash seeds, and the scalar/batch code paths (the batch
+    kernel runs the same reduceat per segment)."""
+    if len(weights) == 0:
+        return 0.0
+    return float(np.add.reduceat(weights, np.array([0]))[0])
 
 
 def _block_key(col):
@@ -59,12 +71,11 @@ def _sorted_trigram_sum(trigrams, idf: Mapping[str, float], default: float) -> f
     iteration order is hash-seed-dependent (varies across executor
     processes), and float addition is not associative, so an unsorted sum
     would make link scores differ in the last ulp between runs and could
-    flip top-1 ties."""
-    out = 0.0
-    for t in sorted(trigrams):
-        w = idf.get(t, default)
-        out += w * w
-    return out
+    flip top-1 ties.  The fold itself is ``_reduce_sorted`` (numpy
+    reduceat), the same reduction the vectorized batch scorer applies per
+    segment — scalar and batch paths agree to the bit."""
+    w = np.array([idf.get(t, default) for t in sorted(trigrams)], dtype=np.float64)
+    return _reduce_sorted(w * w)
 
 
 def build_idf(names: list[str]) -> dict[str, float]:
@@ -128,6 +139,125 @@ def tfidf_trigram_cosine(a: str, b: str, idf: Mapping[str, float]) -> float:
     return num / (na * nb)
 
 
+def _score_pairs_batch(
+    surfaces: np.ndarray,
+    names: np.ndarray,
+    idf: Mapping[str, float] | None,
+) -> np.ndarray:
+    """Vectorized trigram-cosine scoring of one Arrow batch of candidate
+    pairs (round-3 stretch item: the last per-row Python in a join path).
+
+    Python-level string work happens once per DISTINCT string in the batch
+    (trigram extraction — the distinct-then-rejoin trick applied within
+    the kernel); everything pairwise is numpy:
+
+    - the batch's trigram vocabulary is sorted, so integer code order ==
+      lexicographic trigram order,
+    - per-string norms and per-pair shared-trigram numerators reduce via
+      ``np.add.reduceat`` over code-sorted weights — the SAME canonical
+      fold as the scalar ``tfidf_trigram_cosine`` (bit-identical),
+    - all pair intersections compute in ONE ``np.intersect1d`` over
+      ``pair_index * V + code`` composite keys.
+    """
+    n_pairs = len(surfaces)
+    if n_pairs == 0:
+        return np.zeros(0, dtype=np.float64)
+
+    # one trigram extraction per distinct string
+    uniq: dict[str, int] = {}
+    tri_sets: list[list[str]] = []
+    for s in np.concatenate([surfaces, names]):
+        if isinstance(s, str) and s not in uniq:
+            uniq[s] = len(tri_sets)
+            tri_sets.append(sorted(_trigrams(s)))
+
+    vocab = sorted({t for ts in tri_sets for t in ts})
+    vsize = max(len(vocab), 1)
+    code_of = {t: i for i, t in enumerate(vocab)}
+    if idf is not None:
+        default = 1.0
+        w2 = np.array(
+            [idf.get(t, default) ** 2 for t in vocab], dtype=np.float64
+        )
+    else:
+        w2 = np.ones(len(vocab), dtype=np.float64)
+    # per distinct string: ascending code array (== sorted trigram order)
+    codes = [
+        np.array([code_of[t] for t in ts], dtype=np.int64) for ts in tri_sets
+    ]
+    lengths = np.array([len(c) for c in codes], dtype=np.int64)
+    # norms via the canonical per-segment fold
+    flat = np.concatenate(codes) if codes else np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(codes), dtype=np.int64)
+    if len(codes) > 1:
+        starts[1:] = np.cumsum(lengths)[:-1]
+    norm2 = np.zeros(len(codes), dtype=np.float64)
+    nonempty = lengths > 0
+    if nonempty.any():
+        seg = np.add.reduceat(w2[flat], starts[nonempty])
+        # reduceat with boundaries at empty segments would merge slices;
+        # restricting to nonempty starts keeps slices exact — but adjacent
+        # reduceat slices end at the NEXT boundary, so recompute per-string
+        # only when a zero-length neighbor would corrupt the slice
+        if nonempty.all():
+            norm2 = seg
+        else:
+            for i in np.flatnonzero(nonempty):
+                norm2[i] = _reduce_sorted(w2[codes[i]])
+
+    s_idx = np.array(
+        [uniq[s] if isinstance(s, str) else -1 for s in surfaces], dtype=np.int64
+    )
+    n_idx = np.array(
+        [uniq[s] if isinstance(s, str) else -1 for s in names], dtype=np.int64
+    )
+
+    # one intersect1d for every pair: composite key = pair*V + code.
+    # Codes for string i live at flat[starts[i] : starts[i]+lengths[i]];
+    # the per-pair gather is a repeat/arange index build — no Python loop.
+    pair_ids = np.arange(n_pairs, dtype=np.int64)
+    valid = (s_idx >= 0) & (n_idx >= 0)
+    vp = np.flatnonzero(valid)
+
+    def _pair_keys(idx: np.ndarray) -> np.ndarray:
+        li = lengths[idx]
+        total = int(li.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.int64)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(li) - li, li
+        )
+        gathered = flat[np.repeat(starts[idx], li) + intra]
+        return np.repeat(pair_ids[vp] * vsize, li) + gathered
+
+    ka = _pair_keys(s_idx[vp])
+    kb_ = _pair_keys(n_idx[vp])
+    shared = np.intersect1d(ka, kb_, assume_unique=True)  # sorted →
+    # grouped by pair, codes ascending within each pair
+    num = np.zeros(n_pairs, dtype=np.float64)
+    if len(shared):
+        pk = shared // vsize
+        sc = shared % vsize
+        seg_starts = np.flatnonzero(
+            np.concatenate([[True], pk[1:] != pk[:-1]])
+        )
+        sums = np.add.reduceat(w2[sc], seg_starts)
+        num[pk[seg_starts]] = sums
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if idf is not None:
+            # scalar twin: num / (sqrt(na2) * sqrt(nb2))
+            denom = np.sqrt(norm2[s_idx]) * np.sqrt(norm2[n_idx])
+        else:
+            # scalar twin: len(∩) / sqrt(len(a) * len(b)) — product inside
+            # the sqrt, so match that association exactly
+            denom = np.sqrt(norm2[s_idx] * norm2[n_idx])
+        out = np.where(
+            valid & (denom > 0.0), num / np.where(denom == 0, 1, denom), 0.0
+        )
+    return out
+
+
 def link_mentions(
     mentions: DataFrame,
     kb: DataFrame,
@@ -162,16 +292,11 @@ def link_mentions(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            if idf is not None:
-                pdf["link_score"] = [
-                    tfidf_trigram_cosine(s, n, idf)
-                    for s, n in zip(pdf["surface"], pdf["kb_name"])
-                ]
-            else:
-                pdf["link_score"] = [
-                    trigram_cosine(s, n)
-                    for s, n in zip(pdf["surface"], pdf["kb_name"])
-                ]
+            pdf["link_score"] = _score_pairs_batch(
+                pdf["surface"].to_numpy(dtype=object),
+                pdf["kb_name"].to_numpy(dtype=object),
+                idf,
+            )
             yield pdf[["surface", "kb_id", "kb_name", "link_score"]]
 
     scored = cands.mapInPandas(

@@ -207,6 +207,47 @@ def test_link_score_deterministic_across_hash_seeds():
     assert len(outs) == 1, f"score varies with hash seed: {outs}"
 
 
+def test_vectorized_batch_scorer_bit_exact():
+    """The numpy batch scorer (round-4: last per-row Python in a join path
+    removed) must equal the scalar twins BIT-exactly — same canonical
+    reduceat fold over sorted trigram weights — for idf and binary modes,
+    including null/empty inputs."""
+    import random
+
+    import numpy as np
+
+    from neo4j_export_tool_spark.operators.linking import (
+        _score_pairs_batch,
+        build_idf,
+        tfidf_trigram_cosine,
+        trigram_cosine,
+    )
+
+    rng = random.Random(7)
+    names = [
+        "Acme Inc", "Acme Analytics", "Globex Ltd", "Bolt Inc",
+        "Wayne Computing", "Ada Lovelace", "A. Lovelace", "Tyrell Data",
+        "Hooli Cloud LLC", "Café München GmbH", "x", "",
+    ]
+    idf = build_idf(names)
+    pairs = [(rng.choice(names), rng.choice(names)) for _ in range(400)]
+    pairs += [(None, "Acme Inc"), ("Acme Inc", None), (None, None)]
+    s = np.array([p[0] for p in pairs], dtype=object)
+    n = np.array([p[1] for p in pairs], dtype=object)
+    for use_idf in (True, False):
+        got = _score_pairs_batch(s, n, idf if use_idf else None)
+        exp = np.array([
+            0.0
+            if a is None or b is None
+            else (tfidf_trigram_cosine(a, b, idf) if use_idf else trigram_cosine(a, b))
+            for a, b in pairs
+        ])
+        assert (got == exp).all(), (
+            f"idf={use_idf}: first mismatch at "
+            f"{np.flatnonzero(got != exp)[:3]}"
+        )
+
+
 def test_ann_empty_and_null_inputs(spark):
     """Empty / all-null vector inputs return empty results, not crashes
     (review finding: dim inference from first row)."""
