@@ -204,6 +204,24 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
                 min(_timed(lambda: _force(fn(spark, sf_dir))) for _ in range(2)), 3
             )
 
+        # perf-only lane (no oracle; round-3 advice): hyperplane LSH over
+        # the FULL embeddings table — the q27 gate pins exactness on planted
+        # twins, this keeps LSH-at-corpus-scale on the bench surface
+        from neo4j_export_tool_spark.operators.ann import hyperplane_lsh_pairs
+
+        emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        timings["lsh_full_table"] = round(
+            min(
+                _timed(lambda: _force(
+                    hyperplane_lsh_pairs(
+                        emb_full, "embedding", "vec_id", min_cosine=0.9
+                    )
+                ))
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # flagship KG end-to-end (mentions → edges → hash join), with
         # throughput accounting
         from neo4j_export_tool_spark.plans.flagship import documents_kg
@@ -367,9 +385,100 @@ def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 40) -> dict:
     }
 
 
+def run_scaling_study(
+    sf_dir: str, low: int, high: int, replicate: int = 40,
+    n_replicates: int = 5,
+) -> dict:
+    """Round-4 hardened scaling evidence: INTERLEAVED paired phases.
+
+    Round 3's weakness: each replicate ran its (concurrent-low, single-high)
+    phases once, minutes apart across replicates — the single high-side job
+    absorbs any co-tenant spike whole (measured: one of three replicates at
+    0.702 vs 0.955/0.815).  This study alternates phases
+
+        L_0  H_0  L_1  H_1  ...  L_{R-1}  H_{R-1}  L_R
+
+    over the SAME materialized input and pairs every high phase with the
+    MEAN of its two adjacent low phases:
+
+        eff_k = thr(H_k) / mean(agg_thr(L_k), agg_thr(L_{k+1}))
+
+    so machine drift is bounded to one phase-pair window (~1-2 min) instead
+    of the whole session, and a spike during H_k drags L_k/L_{k+1}'s
+    neighborhood with it rather than biasing one side.  Published numbers:
+    every per-replicate efficiency plus median and min.
+    """
+    import concurrent.futures as _fut
+    import statistics as _stats
+    import tempfile as _tf
+
+    input_dir = os.path.join(_tf.gettempdir(), f"scaling-shared-{replicate}")
+    subprocess.run(
+        [sys.executable, __file__, "--single-run", "--flagship-only",
+         "--gen-only", "--cpus", str(high), "--replicate", str(replicate),
+         "--input-dir", input_dir],
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        capture_output=True, text=True, check=True,
+    )
+
+    n_small = high // low
+
+    def _low_phase() -> dict:
+        with _fut.ThreadPoolExecutor(max_workers=n_small) as pool:
+            futs = []
+            for _ in range(n_small):
+                futs.append(pool.submit(
+                    _flagship_subprocess, sf_dir, low, replicate, input_dir))
+                time.sleep(3)  # stagger JVM cold starts (deadlock guard)
+            small = [f.result() for f in futs]
+        return {
+            "each": [s["flagship_triples_per_sec"] for s in small],
+            "aggregate": round(
+                sum(s["flagship_triples_per_sec"] for s in small), 1),
+            "load_matched_valid": all(s.get("retried", 0) == 0 for s in small),
+        }
+
+    lows: list[dict] = []
+    highs: list[dict] = []
+    for k in range(n_replicates):
+        lows.append(_low_phase())
+        highs.append(_flagship_subprocess(sf_dir, high, replicate, input_dir))
+    lows.append(_low_phase())  # closing low phase pairs with the last high
+
+    effs = []
+    for k in range(n_replicates):
+        low_pair = (lows[k]["aggregate"] + lows[k + 1]["aggregate"]) / 2.0
+        effs.append(round(highs[k]["flagship_triples_per_sec"] / low_pair, 3))
+    valid = all(p["load_matched_valid"] for p in lows) and all(
+        h.get("retried", 0) == 0 for h in highs
+    )
+    return {
+        "sf": sf_dir,
+        "method": (
+            "interleaved paired phases: %d replicates of {%d concurrent "
+            "local[%d]} vs {1 local[%d]}, eff_k = high_k / mean(adjacent lows)"
+            % (n_replicates, n_small, low, high)
+        ),
+        "low_cpus": low,
+        "high_cpus": high,
+        "low_phases": lows,
+        "high_phases": [
+            {"triples_per_sec": h["flagship_triples_per_sec"],
+             "retried": h.get("retried", 0)}
+            for h in highs
+        ],
+        "efficiencies": effs,
+        "efficiency_median": round(_stats.median(effs), 3),
+        "efficiency_min": round(min(effs), 3),
+        "load_matched_valid": valid,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-study", action="store_true")
+    ap.add_argument("--replicates", type=int, default=5)
     ap.add_argument("--single-run", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--replicate", type=int, default=40)
@@ -380,6 +489,14 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     args = ap.parse_args()
+
+    if args.scaling_study:
+        res = run_scaling_study(
+            args.sf_dir, args.low, args.high, args.replicate,
+            n_replicates=args.replicates,
+        )
+        print(json.dumps(res))
+        return
 
     if args.scaling:
         res = run_scaling(args.sf_dir, args.low, args.high, args.replicate)
