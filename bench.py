@@ -42,15 +42,26 @@ def _timed(fn) -> float:
 
 
 def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: int = 40,
-              input_dir: str | None = None, gen_only: bool = False) -> dict:
+              input_dir: str | None = None, gen_only: bool = False,
+              master: str | None = None, executor_cores: int | None = None,
+              cores_max: int | None = None) -> dict:
     from neo4j_export_tool_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
+    extra_conf = {}
+    if master:  # standalone-cluster run: fixed-size executor JVMs
+        extra_conf["spark.pyspark.python"] = sys.executable
+        if executor_cores:
+            extra_conf["spark.executor.cores"] = str(executor_cores)
+            extra_conf["spark.executor.memory"] = "3g"
+        if cores_max:
+            extra_conf["spark.cores.max"] = str(cores_max)
     spark = get_spark(
-        master=f"local[{cpus}]",
-        app_name=f"bench-{cpus}",
-        shuffle_partitions=max(cpus, 8),
+        master=master or f"local[{cpus}]",
+        app_name=f"bench-{cores_max or cpus}",
+        shuffle_partitions=max(cores_max or cpus, 8),
+        extra_conf=extra_conf,
     )
     try:
         timings: dict[str, float] = {}
@@ -176,6 +187,7 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
 
             # untimed warmup (codegen/broadcast/python-worker spin-up)
             n_triples = build().count()
+            par_before = spark.sparkContext.defaultParallelism
             # timed: best of 3 full materializations (single-host runs are
             # noisy; min is the least-interfered estimate)
             kg_sec = min(
@@ -188,6 +200,14 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
                 "queries": {"pages_pipeline": round(kg_sec, 3)},
                 "sf": sf_dir,
                 "cpus": cpus,
+                # cores actually granted (standalone apps can be
+                # short-granted if a neighbor phase hasn't released yet —
+                # the scaling study validates this against its request).
+                # min(before timed region, after): a grant that grew later
+                # means the timed runs executed under-provisioned.
+                "parallelism": min(
+                    par_before, spark.sparkContext.defaultParallelism
+                ),
                 "replicate": replicate,
                 "flagship_docs": n_docs,
                 "flagship_triples": n_triples,
@@ -300,7 +320,10 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
 
 
 def _flagship_subprocess(sf_dir, cpus, replicate, input_dir,
-                         timeout_s: int = 900, retries: int = 1):
+                         timeout_s: int = 900, retries: int = 1,
+                         master: str | None = None,
+                         executor_cores: int | None = None,
+                         cores_max: int | None = None):
     """One measured flagship run in a fresh JVM.  A rare startup deadlock
     (JVM launch hang in a concurrently-forked subprocess) can leave a run
     pinned at ~0 CPU forever — bound it with a timeout.
@@ -311,12 +334,19 @@ def _flagship_subprocess(sf_dir, cpus, replicate, input_dir,
     turbo), so run_scaling must not silently fold it into a load-matched
     aggregate."""
     attempts = 0
+    cmd = [sys.executable, __file__, "--single-run", "--flagship-only",
+           "--cpus", str(cpus), "--replicate", str(replicate),
+           "--input-dir", input_dir]
+    if master:
+        cmd += ["--master", master]
+    if executor_cores:
+        cmd += ["--executor-cores", str(executor_cores)]
+    if cores_max:
+        cmd += ["--cores-max", str(cores_max)]
     while True:
         try:
             out = subprocess.run(
-                [sys.executable, __file__, "--single-run", "--flagship-only",
-                 "--cpus", str(cpus), "--replicate", str(replicate),
-                 "--input-dir", input_dir],
+                cmd,
                 env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
                 capture_output=True, text=True, check=True, timeout=timeout_s,
             )
@@ -474,10 +504,200 @@ def run_scaling_study(
     }
 
 
+def _find_spark_home() -> str | None:
+    for cand in (os.environ.get("SPARK_HOME"), "/opt/spark-4.1.2-bin-hadoop3"):
+        if cand and os.path.exists(os.path.join(cand, "sbin", "start-master.sh")):
+            return cand
+    return None
+
+
+def ensure_standalone_cluster(worker_cores: int = 32,
+                              worker_mem: str = "64g") -> tuple[str, bool]:
+    """Start (or reuse) a localhost standalone master + one worker.
+
+    Returns (master_url, started_here).  This is the cluster-faithful
+    emulation of the north rule's "N vs 4N executors": applications get
+    FIXED-SIZE executor JVMs (spark.executor.cores) from the worker, so
+    both sides of the scaling comparison run the same executor topology —
+    unlike local mode, where the high side is one big JVM whose shared
+    heap/GC serializes all tasks (a single-host artifact measured at
+    ~5-10% efficiency, see BENCH/BASELINE.md)."""
+    home = _find_spark_home()
+    if home is None:
+        raise RuntimeError("no Spark distribution with sbin/ found")
+    master_url = "spark://127.0.0.1:7077"
+    running = subprocess.run(
+        ["pgrep", "-f", "deploy.master.Master"], capture_output=True
+    ).returncode == 0
+    if running:
+        return master_url, False
+    env = {**os.environ}
+    env.pop("SPARK_NO_DAEMONIZE", None)
+    subprocess.run(
+        [os.path.join(home, "sbin", "start-master.sh"),
+         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8090"],
+        check=True, capture_output=True, env=env,
+    )
+    time.sleep(3)
+    subprocess.run(
+        [os.path.join(home, "sbin", "start-worker.sh"), master_url,
+         "--host", "127.0.0.1", "--webui-port", "8091"],
+        check=True, capture_output=True,
+        env={**env, "SPARK_WORKER_CORES": str(worker_cores),
+             "SPARK_WORKER_MEMORY": worker_mem},
+    )
+    time.sleep(4)
+    return master_url, True
+
+
+def stop_standalone_cluster() -> None:
+    home = _find_spark_home()
+    if home is None:
+        return
+    env = {**os.environ}
+    env.pop("SPARK_NO_DAEMONIZE", None)
+    subprocess.run([os.path.join(home, "sbin", "stop-worker.sh")],
+                   capture_output=True, env=env)
+    subprocess.run([os.path.join(home, "sbin", "stop-master.sh")],
+                   capture_output=True, env=env)
+
+
+def run_scaling_standalone(
+    sf_dir: str, low_execs: int = 2, high_execs: int = 8,
+    executor_cores: int = 2, replicate: int = 40, n_replicates: int = 5,
+) -> dict:
+    """North-rule evidence on a real multi-executor (localhost standalone)
+    cluster: N=``low_execs`` executors vs 4N=``high_execs`` executors, the
+    SAME fixed 2-core executor JVM topology on both sides, apps submitted
+    against a live master — interleaved paired phases exactly like
+    ``run_scaling_study``, load-matched (high_execs/low_execs concurrent
+    low apps vs one high app → equal busy cores)."""
+    import concurrent.futures as _fut
+    import statistics as _stats
+    import tempfile as _tf
+
+    master_url, started = ensure_standalone_cluster(
+        worker_cores=2 * high_execs * executor_cores
+    )
+    try:
+        input_dir = os.path.join(_tf.gettempdir(), f"scaling-shared-{replicate}")
+        subprocess.run(
+            [sys.executable, __file__, "--single-run", "--flagship-only",
+             "--gen-only", "--cpus", str(high_execs * executor_cores),
+             "--replicate", str(replicate), "--input-dir", input_dir],
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            capture_output=True, text=True, check=True,
+        )
+        n_small = high_execs // low_execs
+        low_cores = low_execs * executor_cores
+        high_cores = high_execs * executor_cores
+
+        def _wait_cores_free(timeout_s: float = 60.0) -> None:
+            """Poll the master's JSON endpoint until every core is
+            released — a phase started while a neighbor's executors
+            linger gets short-granted and measures a smaller cluster."""
+            import urllib.request
+
+            t0 = time.time()
+            while time.time() - t0 < timeout_s:
+                try:
+                    with urllib.request.urlopen(
+                        "http://127.0.0.1:8090/json/", timeout=5
+                    ) as r:
+                        if json.load(r).get("coresused", 1) == 0:
+                            return
+                except Exception:
+                    pass
+                time.sleep(1)
+
+        def _run(cores_max: int) -> dict:
+            # re-run once if the app was short-granted (timed region saw
+            # fewer cores than requested) — that run measured a different
+            # cluster size, not this phase's
+            for _attempt in range(2):
+                res = _flagship_subprocess(
+                    sf_dir, cores_max, replicate, input_dir,
+                    master=master_url, executor_cores=executor_cores,
+                    cores_max=cores_max,
+                )
+                res["granted_ok"] = res.get("parallelism") == cores_max
+                if res["granted_ok"]:
+                    return res
+                _wait_cores_free()
+            return res
+
+        def _low_phase() -> dict:
+            _wait_cores_free()
+            with _fut.ThreadPoolExecutor(max_workers=n_small) as pool:
+                futs = []
+                for _ in range(n_small):
+                    futs.append(pool.submit(_run, low_cores))
+                    time.sleep(3)
+                small = [f.result() for f in futs]
+            return {
+                "each": [s["flagship_triples_per_sec"] for s in small],
+                "aggregate": round(
+                    sum(s["flagship_triples_per_sec"] for s in small), 1),
+                "load_matched_valid": all(
+                    s.get("retried", 0) == 0 and s.get("granted_ok")
+                    for s in small),
+            }
+
+        lows, highs = [], []
+        for _k in range(n_replicates):
+            lows.append(_low_phase())
+            _wait_cores_free()
+            highs.append(_run(high_cores))
+        lows.append(_low_phase())
+
+        effs = [
+            round(highs[k]["flagship_triples_per_sec"]
+                  / ((lows[k]["aggregate"] + lows[k + 1]["aggregate"]) / 2.0), 3)
+            for k in range(n_replicates)
+        ]
+        return {
+            "sf": sf_dir,
+            "method": (
+                "standalone cluster, fixed %d-core executor JVMs: %d "
+                "replicates of {%d concurrent apps @ %d executors} vs "
+                "{1 app @ %d executors}, interleaved paired phases"
+                % (executor_cores, n_replicates, n_small, low_execs, high_execs)
+            ),
+            "low_executors": low_execs,
+            "high_executors": high_execs,
+            "executor_cores": executor_cores,
+            "low_phases": lows,
+            "high_phases": [
+                {"triples_per_sec": h["flagship_triples_per_sec"],
+                 "retried": h.get("retried", 0),
+                 "granted_ok": h.get("granted_ok")} for h in highs
+            ],
+            "efficiencies": effs,
+            "efficiency_median": round(_stats.median(effs), 3),
+            "efficiency_min": round(min(effs), 3),
+            "load_matched_valid": all(p["load_matched_valid"] for p in lows)
+            and all(
+                h.get("retried", 0) == 0 and h.get("granted_ok")
+                for h in highs
+            ),
+        }
+    finally:
+        if started:
+            stop_standalone_cluster()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-study", action="store_true")
+    ap.add_argument("--scaling-standalone", action="store_true")
+    ap.add_argument("--low-execs", type=int, default=2)
+    ap.add_argument("--high-execs", type=int, default=8)
+    ap.add_argument("--executor-cores-opt", type=int, default=2,
+                    help="executor size for --scaling-standalone")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--executor-cores", type=int, default=None)
+    ap.add_argument("--cores-max", type=int, default=None)
     ap.add_argument("--replicates", type=int, default=5)
     ap.add_argument("--single-run", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
@@ -489,6 +709,15 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     args = ap.parse_args()
+
+    if args.scaling_standalone:
+        res = run_scaling_standalone(
+            args.sf_dir, low_execs=args.low_execs, high_execs=args.high_execs,
+            executor_cores=args.executor_cores_opt,
+            replicate=args.replicate, n_replicates=args.replicates,
+        )
+        print(json.dumps(res))
+        return
 
     if args.scaling_study:
         res = run_scaling_study(
@@ -505,7 +734,9 @@ def main() -> None:
 
     res = run_bench(args.sf_dir, args.cpus, flagship_only=args.flagship_only,
                     replicate=args.replicate, input_dir=args.input_dir,
-                    gen_only=args.gen_only)
+                    gen_only=args.gen_only, master=args.master,
+                    executor_cores=args.executor_cores,
+                    cores_max=args.cores_max)
     print(json.dumps(res))
 
 
