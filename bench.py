@@ -565,6 +565,7 @@ def stop_standalone_cluster() -> None:
 def run_scaling_standalone(
     sf_dir: str, low_execs: int = 2, high_execs: int = 8,
     executor_cores: int = 2, replicate: int = 40, n_replicates: int = 5,
+    weak_scaling: bool = False,
 ) -> dict:
     """North-rule evidence on a real multi-executor (localhost standalone)
     cluster: N=``low_execs`` executors vs 4N=``high_execs`` executors, the
@@ -580,17 +581,31 @@ def run_scaling_standalone(
         worker_cores=2 * high_execs * executor_cores
     )
     try:
-        input_dir = os.path.join(_tf.gettempdir(), f"scaling-shared-{replicate}")
-        subprocess.run(
-            [sys.executable, __file__, "--single-run", "--flagship-only",
-             "--gen-only", "--cpus", str(high_execs * executor_cores),
-             "--replicate", str(replicate), "--input-dir", input_dir],
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            capture_output=True, text=True, check=True,
-        )
         n_small = high_execs // low_execs
         low_cores = low_execs * executor_cores
         high_cores = high_execs * executor_cores
+
+        def _gen(rep: int) -> str:
+            d = os.path.join(_tf.gettempdir(), f"scaling-shared-{rep}")
+            subprocess.run(
+                [sys.executable, __file__, "--single-run", "--flagship-only",
+                 "--gen-only", "--cpus", str(high_cores),
+                 "--replicate", str(rep), "--input-dir", d],
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                capture_output=True, text=True, check=True,
+            )
+            return d
+
+        input_dir = _gen(replicate)
+        # weak scaling: the 4N side processes 4N/N × the input, so both
+        # phases run comparable WALL TIME and per-run fixed costs (stage
+        # scheduling, barrier tails, GC, python batch boundaries) weigh
+        # the same per unit of work — the throughput-per-cluster-size
+        # question the north rule asks.  Strong scaling (same input both
+        # sides) over-penalizes the big cluster, which finishes ~4× faster
+        # and pays its fixed costs 4× more often per second.
+        replicate_high = replicate * n_small if weak_scaling else replicate
+        input_dir_high = _gen(replicate_high) if weak_scaling else input_dir
 
         def _wait_cores_free(timeout_s: float = 60.0) -> None:
             """Poll the master's JSON endpoint until every core is
@@ -610,13 +625,14 @@ def run_scaling_standalone(
                     pass
                 time.sleep(1)
 
-        def _run(cores_max: int) -> dict:
+        def _run(cores_max: int, rep: int = replicate,
+                 in_dir: str | None = None) -> dict:
             # re-run once if the app was short-granted (timed region saw
             # fewer cores than requested) — that run measured a different
             # cluster size, not this phase's
             for _attempt in range(2):
                 res = _flagship_subprocess(
-                    sf_dir, cores_max, replicate, input_dir,
+                    sf_dir, cores_max, rep, in_dir or input_dir,
                     master=master_url, executor_cores=executor_cores,
                     cores_max=cores_max,
                 )
@@ -647,7 +663,7 @@ def run_scaling_standalone(
         for _k in range(n_replicates):
             lows.append(_low_phase())
             _wait_cores_free()
-            highs.append(_run(high_cores))
+            highs.append(_run(high_cores, replicate_high, input_dir_high))
         lows.append(_low_phase())
 
         effs = [
@@ -660,9 +676,13 @@ def run_scaling_standalone(
             "method": (
                 "standalone cluster, fixed %d-core executor JVMs: %d "
                 "replicates of {%d concurrent apps @ %d executors} vs "
-                "{1 app @ %d executors}, interleaved paired phases"
-                % (executor_cores, n_replicates, n_small, low_execs, high_execs)
+                "{1 app @ %d executors}, interleaved paired phases%s"
+                % (executor_cores, n_replicates, n_small, low_execs,
+                   high_execs,
+                   ", WEAK scaling (high side processes %dx the input)"
+                   % n_small if weak_scaling else " (strong scaling)")
             ),
+            "weak_scaling": weak_scaling,
             "low_executors": low_execs,
             "high_executors": high_execs,
             "executor_cores": executor_cores,
@@ -695,6 +715,8 @@ def main() -> None:
     ap.add_argument("--high-execs", type=int, default=8)
     ap.add_argument("--executor-cores-opt", type=int, default=2,
                     help="executor size for --scaling-standalone")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: high side gets (high/low)x input")
     ap.add_argument("--master", default=None)
     ap.add_argument("--executor-cores", type=int, default=None)
     ap.add_argument("--cores-max", type=int, default=None)
@@ -715,6 +737,7 @@ def main() -> None:
             args.sf_dir, low_execs=args.low_execs, high_execs=args.high_execs,
             executor_cores=args.executor_cores_opt,
             replicate=args.replicate, n_replicates=args.replicates,
+            weak_scaling=args.weak,
         )
         print(json.dumps(res))
         return
