@@ -170,6 +170,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     seed: int = 1,
     use_local_checkpoint: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over word shingles, exact-verified.
 
@@ -182,6 +183,7 @@ def minhash_lsh_pairs(
     return minhash_lsh_pairs_from_sets(
         sets, threshold_pct=threshold_pct, k=k, bands=bands, seed=seed,
         use_local_checkpoint=use_local_checkpoint,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -192,6 +194,7 @@ def minhash_lsh_pairs_from_sets(
     bands: int = 32,
     seed: int = 1,
     use_local_checkpoint: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH over a precomputed (doc, shingles array<string>) table —
     the generic entry used for both document near-dup (word shingles) and
@@ -207,7 +210,19 @@ def minhash_lsh_pairs_from_sets(
     < 2⁶² — and its md5-of-":"-joined-decimal band keys are bit-identical
     to the old expression form, so candidate generation (and therefore
     the verified output) is unchanged.  At 10^12 docs the signature stage
-    is now a linear map; only the band-bucket join shuffles."""
+    is now a linear map; only the band-bucket join shuffles.
+
+    ``max_bucket_size`` (default off — the driver gate runs exact): the
+    scale knob for hot band buckets, the q13 ``max_shingle_df`` analog.
+    A bucket of size m yields m² candidate pairs; corpora whose shingle
+    space saturates (measured: the closed-vocab sf1 stress sweep, where
+    band-bucket collisions between NON-near-dups made q14 the one
+    super-linear gate at 11×) can cap bucket size and skip the hot
+    buckets entirely.  Pairs found only through a skipped bucket are
+    lost (a recall trade, like every LSH df-cap); true near-dup pairs
+    still surface through any of the other ``bands-1`` bands, so the
+    recall loss is bounded by the probability that EVERY band of a pair
+    lands hot — small unless the corpus is pathologically self-similar."""
     from neo4j_export_tool_spark.functions.similarity import (
         MERSENNE_PRIME,
         _lcg,
@@ -268,6 +283,18 @@ def minhash_lsh_pairs_from_sets(
     # the band table self-joins: materialize so the signature kernel runs
     # once, not once per join side
     banded = _materialize(banded, use_local_checkpoint)
+
+    if max_bucket_size is not None:
+        # drop hot buckets BEFORE the self-join — the m² pair blowup never
+        # materializes; one extra keyed agg + left-semi, both on the
+        # already-materialized band table
+        small = (
+            banded.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(small, ["band", "key"], "left_semi")
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -57,6 +57,47 @@ def test_minhash_lsh_matches_exact(pages):
     assert len(lsh) > 0
 
 
+def test_minhash_bucket_cap_subsets_and_prunes(spark, pages):
+    """``max_bucket_size`` (the q13 df-cap analog for LSH, round-4 sf1
+    knee): capped output must be a SUBSET of the uncapped verified pairs
+    (only candidate generation shrinks — verification is unchanged), a
+    generous cap must change nothing, and on a corpus with a planted hot
+    bucket (many identical docs) a tight cap must actually drop the
+    quadratic group while keeping unrelated near-dup pairs."""
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(pages, "text", "url").collect()
+    }
+    generous = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            pages, "text", "url", max_bucket_size=10_000
+        ).collect()
+    }
+    assert generous == uncapped
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(pages, "text", "url", max_bucket_size=5).collect()
+    }
+    assert capped <= uncapped
+
+    # planted hot bucket: 40 identical docs (one 40²-pair bucket in every
+    # band) + 2 near-dup docs unique in the corpus
+    hot = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
+    pair = [
+        (100, "unique snowflake words one two three four five six seven"),
+        (101, "unique snowflake words one two three four five six EIGHT"),
+    ]
+    df = spark.createDataFrame(hot + pair, "doc_id long, text string")
+    tight = minhash_lsh_pairs(df, "text", "doc_id", max_bucket_size=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in tight.collect()}
+    assert (100, 101) in got, "pairs outside hot buckets must survive"
+    assert not any(a < 40 and b < 40 for a, b in got), (
+        "the hot 40-doc bucket must be skipped under the cap"
+    )
+
+
 def test_simhash_deterministic_and_close_for_neardups(spark, pages):
     fps = simhash_fingerprints(pages, "text", "url")
     again = simhash_fingerprints(pages, "text", "url")
