@@ -171,6 +171,9 @@ def _score_pairs_batch(
             uniq[s] = len(tri_sets)
             tri_sets.append(sorted(_trigrams(s)))
 
+    if not tri_sets:  # every surface/name in the batch is null
+        return np.zeros(n_pairs, dtype=np.float64)
+
     vocab = sorted({t for ts in tri_sets for t in ts})
     vsize = max(len(vocab), 1)
     code_of = {t: i for i, t in enumerate(vocab)}

@@ -100,7 +100,7 @@ def codec_jar() -> str | None:
         return None
 
     os.makedirs(cache_dir, exist_ok=True)
-    build_dir = jar_path + ".build"
+    build_dir = f"{jar_path}.{os.getpid()}.build"
     shutil.rmtree(build_dir, ignore_errors=True)
     os.makedirs(build_dir)
     try:
@@ -119,7 +119,10 @@ def codec_jar() -> str | None:
             capture_output=True,
         )
         jar_tool = os.path.join(os.path.dirname(javac), "jar")
-        tmp_jar = jar_path + ".tmp"
+        # per-process tmp name: two concurrent builders must not interleave
+        # writes into one tmp file (each replaces atomically with its own
+        # complete jar; last writer wins, both jars identical)
+        tmp_jar = f"{jar_path}.{os.getpid()}.tmp"
         subprocess.run(
             [jar_tool, "cf", tmp_jar, "-C", build_dir, "."],
             check=True,
