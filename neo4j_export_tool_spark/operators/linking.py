@@ -28,7 +28,6 @@ skew split if a single surface still dominates.
 from __future__ import annotations
 
 import math
-import re
 from collections.abc import Iterator, Mapping
 
 import numpy as np
