@@ -87,6 +87,37 @@ def test_single_partition_contraction_is_final(edges):
     assert stars == _uf_components(edges)
 
 
+def test_arrow_kernel_preserves_huge_ids_with_nulls():
+    """The mapInArrow kernel's reason to exist (round-3 advice): nullable
+    int64 edge columns must NOT round-trip through float64 — vertex ids
+    above 2^53 stay bit-exact even when the column contains nulls."""
+    import pyarrow as pa
+
+    from neo4j_export_tool_spark.operators.components import (
+        make_contract_kernel_arrow,
+    )
+
+    big = 2**53  # float64 loses odd integers from here up
+    a, b, c = big + 1, big + 3, big + 5
+    batch = pa.record_batch(
+        [
+            pa.array([a, b, None, c], type=pa.int64()),
+            pa.array([b, None, a, c], type=pa.int64()),
+        ],
+        names=["src", "dst"],
+    )
+    kernel = make_contract_kernel_arrow("src", "dst")
+    out = list(kernel(iter([batch])))
+    assert len(out) == 1
+    stars = dict(zip(out[0].column(0).to_pylist(), out[0].column(1).to_pylist()))
+    # {a,b} union; b's half-null edge adds b as isolated (already present);
+    # a appears via the (None, a) half-null edge too; c self-loop isolates c
+    assert stars == {a: a, b: a, c: c}, stars
+    # the float64 path would have collapsed big+1 and big+3 onto even
+    # neighbors — assert the exact odd values survived
+    assert all(k % 2 == 1 for k in stars)
+
+
 def test_cc_random_graphs_match_oracle(spark):
     """End-to-end: random graphs, random partition counts, exact equality
     with the driver-side union-find oracle."""
