@@ -511,6 +511,26 @@ def _find_spark_home() -> str | None:
     return None
 
 
+_MASTER_WEBUI_PORT = 8090  # set by ensure_standalone_cluster when reusing
+
+
+def _master_json(timeout: float = 5.0) -> tuple[dict | None, int | None]:
+    """Fetch the standalone master's JSON status, probing the port we
+    start masters on (8090) then the stock default (8080).  Returns
+    (payload, port) or (None, None) when neither answers."""
+    import urllib.request
+
+    for port in (8090, 8080):
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/json/", timeout=timeout
+            ) as r:
+                return json.load(r), port
+        except Exception:
+            continue
+    return None, None
+
+
 def ensure_standalone_cluster(worker_cores: int = 32,
                               worker_mem: str = "64g") -> tuple[str, bool]:
     """Start (or reuse) a localhost standalone master + one worker.
@@ -530,6 +550,30 @@ def ensure_standalone_cluster(worker_cores: int = 32,
         ["pgrep", "-f", "deploy.master.Master"], capture_output=True
     ).returncode == 0
     if running:
+        # a pre-existing master is only reusable when a live worker with
+        # the requested cores is actually registered — otherwise every
+        # cores-free poll burns its timeout and the measured topology is
+        # not the requested one
+        global _MASTER_WEBUI_PORT
+        payload, port = _master_json()
+        if payload is None:
+            raise RuntimeError(
+                "a standalone master is running but its JSON endpoint "
+                "answered on neither 8090 nor 8080 — stop it (sbin/"
+                "stop-master.sh) or expose its webui before benching"
+            )
+        _MASTER_WEBUI_PORT = port
+        alive_cores = sum(
+            w.get("cores", 0)
+            for w in payload.get("workers", [])
+            if w.get("state") == "ALIVE"
+        )
+        if alive_cores < worker_cores:
+            raise RuntimeError(
+                f"reused master on port {port} has {alive_cores} ALIVE "
+                f"worker cores, need {worker_cores} — stop the stale "
+                "cluster or start a matching worker"
+            )
         return master_url, False
     env = {**os.environ}
     env.pop("SPARK_NO_DAEMONIZE", None)
@@ -617,7 +661,8 @@ def run_scaling_standalone(
             while time.time() - t0 < timeout_s:
                 try:
                     with urllib.request.urlopen(
-                        "http://127.0.0.1:8090/json/", timeout=5
+                        f"http://127.0.0.1:{_MASTER_WEBUI_PORT}/json/",
+                        timeout=5,
                     ) as r:
                         if json.load(r).get("coresused", 1) == 0:
                             return

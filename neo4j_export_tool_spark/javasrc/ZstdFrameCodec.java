@@ -72,27 +72,60 @@ public class ZstdFrameCodec implements CompressionCodec, Configurable {
 
   @Override public String getDefaultExtension() { return ".zst"; }
 
+  /** FilterOutputStream whose close() only flushes — lets finish() close
+   *  the zstd wrapper (the only way zstd-jni ends a frame) while keeping
+   *  the real underlying stream open, per the CompressionOutputStream
+   *  contract. */
+  private static final class CloseShieldOutputStream extends java.io.FilterOutputStream {
+    CloseShieldOutputStream(OutputStream out) { super(out); }
+    @Override public void write(byte[] b, int off, int len) throws IOException {
+      out.write(b, off, len);
+    }
+    @Override public void close() throws IOException { out.flush(); }
+  }
+
   public static final class ZstdFrameOutputStream extends CompressionOutputStream {
-    private final ZstdOutputStream zos;
+    private ZstdOutputStream zos;  // null between finish() and the next write
 
     public ZstdFrameOutputStream(OutputStream out) throws IOException {
       super(out);
-      this.zos = new ZstdOutputStream(out);
+      this.zos = new ZstdOutputStream(new CloseShieldOutputStream(out));
     }
 
-    @Override public void write(int b) throws IOException { zos.write(b); }
+    private ZstdOutputStream ensureOpen() throws IOException {
+      if (zos == null) {
+        // writes after finish() open a fresh frame; frames concatenate
+        // per RFC 8878, so the file stays one valid .zst stream
+        zos = new ZstdOutputStream(new CloseShieldOutputStream(out));
+      }
+      return zos;
+    }
+
+    @Override public void write(int b) throws IOException { ensureOpen().write(b); }
 
     @Override public void write(byte[] b, int off, int len) throws IOException {
-      zos.write(b, off, len);
+      ensureOpen().write(b, off, len);
     }
 
-    @Override public void finish() throws IOException { zos.flush(); }
+    @Override public void finish() throws IOException {
+      // End the current zstd frame WITHOUT closing the underlying stream
+      // (the CompressionOutputStream.finish() contract).  Idempotent.
+      if (zos != null) {
+        zos.close();  // close-shielded: ends the frame, flushes, keeps out open
+        zos = null;
+      }
+    }
 
     @Override public void resetState() throws IOException { /* stateless between records */ }
 
-    @Override public void flush() throws IOException { zos.flush(); }
+    @Override public void flush() throws IOException {
+      if (zos != null) { zos.flush(); } else { out.flush(); }
+    }
 
-    @Override public void close() throws IOException { zos.close(); }
+    @Override public void close() throws IOException {
+      finish();
+      out.close();
+    }
   }
 
   public static final class ZstdFrameInputStream extends CompressionInputStream {

@@ -214,7 +214,8 @@ def minhash_lsh_pairs_from_sets(
 
     ``max_bucket_size`` (default off — the driver gate runs exact): the
     scale knob for hot band buckets, the q13 ``max_shingle_df`` analog.
-    A bucket of size m yields m² candidate pairs; corpora whose shingle
+    A bucket of size m yields m(m-1)/2 candidate pairs (the a<b
+    self-join — O(m²) growth); corpora whose shingle
     space saturates (measured: the closed-vocab sf1 stress sweep, where
     band-bucket collisions between NON-near-dups made q14 the one
     super-linear gate at 11×) can cap bucket size and skip the hot

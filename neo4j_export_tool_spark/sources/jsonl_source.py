@@ -137,8 +137,20 @@ def _materialize_zst_section(spark: SparkSession, section_dir: str) -> str:
     from neo4j_export_tool_spark.sources.zstd_codec import decompress_file_jvm
 
     parts = sorted(_glob.glob(os.path.join(section_dir, "*.zst")))
+    # external exports may mix plain and .zst parts in one section; the
+    # scratch dir must carry BOTH or the plain parts' rows silently vanish
+    plain_parts = sorted(
+        p
+        for p in _glob.glob(os.path.join(section_dir, "*"))
+        if os.path.isfile(p)
+        and not p.endswith(".zst")
+        and not os.path.basename(p).startswith(("_", "."))
+    )
     key = os.path.abspath(section_dir)
-    stamp = tuple((os.path.basename(p), os.path.getmtime(p), os.path.getsize(p)) for p in parts)
+    stamp = tuple(
+        (os.path.basename(p), os.path.getmtime(p), os.path.getsize(p))
+        for p in parts + plain_parts
+    )
     hit = _ZST_SCRATCH_CACHE.get(key)
     if hit is not None:
         old_stamp, out = hit
@@ -163,6 +175,14 @@ def _materialize_zst_section(spark: SparkSession, section_dir: str) -> str:
 
     with fut.ThreadPoolExecutor(max_workers=min(8, max(1, len(parts)))) as pool:
         list(pool.map(_one, parts))
+    for p in plain_parts:
+        dst = os.path.join(scratch, os.path.basename(p))
+        try:
+            os.symlink(os.path.abspath(p), dst)
+        except OSError:
+            import shutil as _shutil
+
+            _shutil.copy2(p, dst)
     _ZST_SCRATCH_CACHE[key] = (stamp, scratch)
     return scratch
 

@@ -36,19 +36,14 @@ import subprocess
 
 CODEC_CLASS = "neo4jexportspark.io.ZstdFrameCodec"
 
-# explicit codec list for reads: CompressionCodecFactory maps ".zst" to the
-# LAST codec claiming it — ours replaces the native-only ZStandardCodec.
-# The stock java-implemented codecs stay listed so .gz/.bz2/.deflate reads
-# keep working (an explicit io.compression.codecs overrides the default
-# ServiceLoader list entirely).
-_READ_CODECS = ",".join(
-    [
-        "org.apache.hadoop.io.compress.DefaultCodec",
-        "org.apache.hadoop.io.compress.GzipCodec",
-        "org.apache.hadoop.io.compress.BZip2Codec",
-        "org.apache.hadoop.io.compress.DeflateCodec",
-        CODEC_CLASS,
-    ]
+# only used if the live CompressionCodecFactory default list can't be read
+# (register_read_codecs normally appends to that list so Snappy/Lz4/etc.
+# remain registered for later reads in the session)
+_FALLBACK_READ_CODECS = (
+    "org.apache.hadoop.io.compress.DefaultCodec",
+    "org.apache.hadoop.io.compress.GzipCodec",
+    "org.apache.hadoop.io.compress.BZip2Codec",
+    "org.apache.hadoop.io.compress.DeflateCodec",
 )
 
 _JAVA_SRC = os.path.join(
@@ -154,12 +149,27 @@ def codec_loadable(spark) -> bool:
 
 
 def register_read_codecs(spark) -> None:
-    """Point Hadoop's codec factory at the explicit list claiming ``.zst``
-    for our codec (idempotent; runtime-settable — reads resolve codecs per
-    file open, not per session)."""
-    spark.sparkContext._jsc.hadoopConfiguration().set(
-        "io.compression.codecs", _READ_CODECS
-    )
+    """Make Hadoop's codec factory map ``.zst`` to our codec (idempotent;
+    runtime-settable — reads resolve codecs per file open, not per session).
+
+    Appends to the factory's LIVE codec list (``CompressionCodecFactory
+    .getCodecClasses`` returns the ServiceLoader defaults when
+    ``io.compression.codecs`` is unset), so Snappy/Lz4/etc. stay
+    registered for later reads in the same session; the factory maps an
+    extension to the LAST codec claiming it, so appending ours last is
+    enough to displace the native-only ``ZStandardCodec`` for ``.zst``."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    try:
+        classes = jvm.org.apache.hadoop.io.compress.CompressionCodecFactory.getCodecClasses(
+            hconf
+        )
+        names = [classes.get(i).getName() for i in range(classes.size())]
+    except Exception:
+        names = list(_FALLBACK_READ_CODECS)
+    names = [n for n in names if n != CODEC_CLASS]
+    names.append(CODEC_CLASS)
+    hconf.set("io.compression.codecs", ",".join(names))
 
 
 def compress_file_jvm(spark, src: str, dst: str) -> None:

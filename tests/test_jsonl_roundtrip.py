@@ -198,3 +198,76 @@ def test_zstd_fallback_lane_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
     imp2 = read_jsonl_export(spark, res2.path)
     assert imp2.nodes.count() == res2.node_count
     assert imp2.edges.count() == res2.rel_count
+
+
+def test_codec_finish_ends_frame(spark, tmp_path):
+    """CompressionOutputStream.finish() must end the zstd frame WITHOUT
+    closing the underlying stream (the Hadoop contract): a consumer that
+    calls finish() and then reads the file back gets complete data, and
+    later writes start a fresh frame that concatenates per RFC 8878."""
+    from neo4j_export_tool_spark.sources.zstd_codec import (
+        CODEC_CLASS,
+        codec_loadable,
+        decompress_file_jvm,
+    )
+
+    assert codec_loadable(spark)
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    klass = (
+        jvm.Thread.currentThread().getContextClassLoader().loadClass(CODEC_CLASS)
+    )
+    codec = klass.getDeclaredConstructor(
+        gw.new_array(jvm.java.lang.Class, 0)
+    ).newInstance(gw.new_array(jvm.java.lang.Object, 0))
+
+    src = str(tmp_path / "f.zst")
+    fos = jvm.java.io.FileOutputStream(src)
+    out = codec.createOutputStream(fos)
+    first = b"hello frame one\n" * 100
+    out.write(first, 0, len(first))
+    out.finish()
+
+    # the frame is complete on disk before close(): read it back now
+    mid = str(tmp_path / "mid.txt")
+    decompress_file_jvm(spark, src, mid)
+    assert open(mid, "rb").read() == first
+
+    # the underlying stream is still open: writes continue in a new frame
+    second = b"frame two\n" * 50
+    out.write(second, 0, len(second))
+    out.close()
+    full = str(tmp_path / "full.txt")
+    decompress_file_jvm(spark, src, full)
+    assert open(full, "rb").read() == first + second
+
+
+def test_mixed_plain_and_zst_section_fallback(spark, sf_dir, tmp_path, monkeypatch):
+    """Codec-less import of a section mixing plain and .zst parts (an
+    external export could produce this) must surface the plain parts'
+    rows too — the scratch dir carries both kinds."""
+    import glob
+    import os
+
+    from neo4j_export_tool_spark.sources.zstd_codec import decompress_file_jvm
+
+    monkeypatch.setattr(
+        "neo4j_export_tool_spark.sources.zstd_codec.codec_loadable",
+        lambda _s: False,
+    )
+    nodes, hashed = documents_kg(spark, sf_dir)
+    dir_out = str(tmp_path / "mixed")
+    res = export_jsonl(
+        nodes, with_properties_json(hashed), dir_out, db_name="mx",
+        compression="zstd", single_file=False, sort_lines=False,
+    )
+    # fabricate a plain part alongside the .zst ones by decompressing one
+    part = sorted(glob.glob(os.path.join(dir_out, "nodes", "part-*.zst")))[0]
+    plain = os.path.join(dir_out, "nodes", "part-99999-plain.txt")
+    decompress_file_jvm(spark, part, plain)
+    extra_rows = sum(1 for _ in open(plain, "rb"))
+    assert extra_rows > 0
+
+    imp = read_jsonl_export(spark, res.path)
+    assert imp.nodes.count() == res.node_count + extra_rows
+    assert imp.edges.count() == res.rel_count
