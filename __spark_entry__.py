@@ -1023,6 +1023,44 @@ def _q46_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_bpe(docs, merges).orderBy("doc_id")
 
 
+def _q47_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — hash-exact via planted cells.
+
+    The q27 construction adapted to IVF (`operators/ann.py::ivf_topk`):
+    for each of 8 query vectors, plant k=3 IDENTICAL copies of the query
+    vector as items (ids 100000+3q+j).  Identical vectors rank every
+    centroid identically, so the copies are assigned to exactly the cell
+    the query probes FIRST (rn=1 under the shared d-desc/cell-asc
+    ordering) — n_probe≥1 guarantees they are candidates regardless of
+    how k-means placed the centroids.  Their cosine is exactly
+    dot/sqrt(dot·dot) of identical vectors (≈1.0) while the max natural
+    pairwise cosine in the testdata is ~0.48 at every sf, so the planted
+    copies ARE the true top-3 and the IVF output provably equals the
+    exact brute-force answer — the q17-style DuckDB oracle applies, same
+    float semantics (sequential dot-product fold).  General recall on
+    unplanted data stays pytest-pinned (tests/test_ann_cc_linking.py)."""
+    from neo4j_export_tool_spark.operators.ann import ivf_topk
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 160)
+        .select("vec_id", "embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 8)
+    copies = qs.select(
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.lit(100000) + F.col("vec_id") * 3 + F.col("j")).alias("vec_id"),
+        "embedding",
+    )
+    items = emb.unionByName(copies)
+    return ivf_topk(
+        items, qs, "embedding", "vec_id", k=3, n_cells=8, n_probe=2, n_iters=2
+    ).orderBy("query_id", "rank")
+
+
 def _q46_oracle() -> str:
     """Closed-form q46 oracle: the pure-Python BPE twin (independent of
     Spark) learns the same seed merges and encodes the 31-word closed
@@ -1140,6 +1178,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q44_graph_tables": _q44_graph_tables,
         "q45_embedding_quantize": _q45_embedding_quantize,
         "q46_bpe_encode": _q46_bpe_encode,
+        "q47_ann_ivf": _q47_ann_ivf,
     }
 
 
@@ -1686,6 +1725,38 @@ def oracle_sql() -> dict[str, str]:
         # q46: learned-BPE encode — merge table is closed-form (fixed seed
         # corpus), so the oracle embeds the pure-twin word→token map
         "q46_bpe_encode": _q46_oracle(),
+        # q47: IVF with planted identical copies — the copies land in the
+        # query's first-probed cell by construction, so IVF output == the
+        # exact brute-force top-3 (same oracle machinery as q17/q27)
+        "q47_ann_ivf": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 160
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8
+            ), copies AS (
+              SELECT 100000 + b.vec_id * 3 + j.j AS vec_id, b.v
+              FROM base b CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+              WHERE b.vec_id < 8
+            ), items AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id, v FROM copies
+            ), scored AS (
+              SELECT q.query_id, i.vec_id AS item_id,
+                     list_dot_product(q.qv, i.v)
+                     / sqrt(list_dot_product(q.qv, q.qv)
+                            * list_dot_product(i.v, i.v)) AS cosine
+              FROM q JOIN items i ON q.query_id != i.vec_id
+            ), ranked AS (
+              SELECT query_id, item_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, item_id) AS "rank"
+              FROM scored
+            )
+            SELECT query_id, "rank", item_id, cosine FROM ranked
+            WHERE "rank" <= 3 ORDER BY query_id, "rank"
+        """,
         # q44: the bucketed-table round trip must reproduce the same
         # closed-form node hashes q07 pins
         "q44_graph_tables": f"""
