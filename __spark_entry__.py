@@ -1061,6 +1061,50 @@ def _q47_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q48_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stdlib PNG decode (round-5 de-stub): deterministic PNG
+    payloads built per doc — color type cycles gray/RGB/RGBA by
+    doc_id%3, pixel values derived from doc_id — decoded back through
+    the Arrow-batched container-sniffing codec
+    (`operators/multimodal.py::decode_png`: chunk CRCs, zlib inflate,
+    filter reconstruction).  The oracle is the closed form of the same
+    pixel arithmetic; filter types 1-4 and mixed-filter scanlines are
+    pytest-pinned (tests/test_streaming_multimodal_text.py)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from neo4j_export_tool_spark.operators.multimodal import (
+        encode_png,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                r, g, b = d % 251, (d * 7) % 251, (d * 13) % 251
+                ct = (0, 2, 6)[d % 3]
+                px = {0: bytes([r]), 2: bytes([r, g, b]),
+                      6: bytes([r, g, b, 255])}[ct]
+                mids.append(str(d))
+                payloads.append(encode_png(3, 2, px * 6, ct))
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    return (
+        extract_image_features(media)
+        .select(
+            F.col("media_id").cast("long").alias("doc_id"),
+            "width", "height", "mean_r", "mean_g", "mean_b",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q46_oracle() -> str:
     """Closed-form q46 oracle: the pure-Python BPE twin (independent of
     Spark) learns the same seed merges and encodes the 31-word closed
@@ -1179,6 +1223,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q45_embedding_quantize": _q45_embedding_quantize,
         "q46_bpe_encode": _q46_bpe_encode,
         "q47_ann_ivf": _q47_ann_ivf,
+        "q48_png_decode": _q48_png_decode,
     }
 
 
@@ -1756,6 +1801,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, "rank", item_id, cosine FROM ranked
             WHERE "rank" <= 3 ORDER BY query_id, "rank"
+        """,
+        # q48: stdlib PNG decode — gray rows replicate the gray value into
+        # all three channels, RGBA drops alpha; means are the closed form
+        # of the builder's pixel arithmetic
+        "q48_png_decode": """
+            SELECT doc_id,
+                   3::INT AS width, 2::INT AS height,
+                   (doc_id % 251)::INT AS mean_r,
+                   (CASE WHEN doc_id % 3 = 0 THEN doc_id % 251
+                         ELSE (doc_id * 7) % 251 END)::INT AS mean_g,
+                   (CASE WHEN doc_id % 3 = 0 THEN doc_id % 251
+                         ELSE (doc_id * 13) % 251 END)::INT AS mean_b
+            FROM documents ORDER BY doc_id
         """,
         # q44: the bucketed-table round trip must reproduce the same
         # closed-form node hashes q07 pins

@@ -6,15 +6,17 @@ Arrow-batched ``mapInPandas`` UDFs.
 
 Two codec tiers:
 
-- REAL stdlib decoders for simple formats: binary PPM (P6) images —
-  parse / mean-RGB / nearest-neighbor resize — and RIFF WAV audio (stdlib
-  ``wave``) — sample rate / channels / duration / every-Nth frame
-  sampling.  These exercise the full decode→feature→re-encode dataflow
-  end-to-end with zero external dependencies.
-- PIL/ffmpeg/librosa-class formats (JPEG/MP4/…) are NOT decodable in this
-  container — that step is STUBBED behind ``require_codec``
-  (clearly-marked NotImplementedError); the Spark-side plumbing is the
-  same as the real tiers.
+- REAL stdlib decoders for formats stdlib can express: binary PPM (P6)
+  images, PNG (full zlib inflate + all five filter-type reconstructions,
+  gray/RGB/RGBA/gray-alpha at bit depth 8) — parse / mean-RGB /
+  nearest-neighbor resize — and RIFF WAV audio (stdlib ``wave``) — sample
+  rate / channels / duration / every-Nth frame sampling.  These exercise
+  the full decode→feature→re-encode dataflow end-to-end with zero
+  external dependencies.
+- PIL/ffmpeg/librosa-class formats (JPEG/MP4/…, whose entropy coders
+  stdlib lacks) are NOT decodable in this container — that step is
+  STUBBED behind ``require_codec`` (clearly-marked NotImplementedError);
+  the Spark-side plumbing is the same as the real tiers.
 
 Scale notes: binary batches are large — ``spark.sql.execution.arrow.
 maxRecordsPerBatch`` bounds Arrow batch memory, and media tables should be
@@ -106,17 +108,19 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, pixels
 
 
-def ppm_mean_rgb(payload: bytes) -> tuple[int, int, int]:
-    """Integer mean per channel (floor) — exact, engine-portable.
-    C-speed byte-slice sums, not a per-pixel Python loop."""
-    w, h, px = decode_ppm(payload)
-    n = w * h
+def _mean_rgb(px: bytes, n: int) -> tuple[int, int, int]:
+    """Integer mean per channel (floor) over packed RGB bytes — exact,
+    engine-portable.  C-speed byte-slice sums, not a per-pixel loop."""
     return sum(px[0::3]) // n, sum(px[1::3]) // n, sum(px[2::3]) // n
 
 
-def resize_ppm(payload: bytes, new_w: int, new_h: int) -> bytes:
-    """Nearest-neighbor resize → a valid P6 payload."""
+def ppm_mean_rgb(payload: bytes) -> tuple[int, int, int]:
     w, h, px = decode_ppm(payload)
+    return _mean_rgb(px, w * h)
+
+
+def _resize_rgb(px: bytes, w: int, h: int, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resize of packed RGB bytes."""
     out = bytearray()
     for y in range(new_h):
         sy = y * h // new_h
@@ -125,7 +129,197 @@ def resize_ppm(payload: bytes, new_w: int, new_h: int) -> bytes:
             sx = x * w // new_w
             o = row + sx * 3
             out += px[o : o + 3]
-    return encode_ppm(new_w, new_h, bytes(out))
+    return bytes(out)
+
+
+def resize_ppm(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resize → a valid P6 payload."""
+    w, h, px = decode_ppm(payload)
+    return encode_ppm(new_w, new_h, _resize_rgb(px, w, h, new_w, new_h))
+
+
+def resize_image_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Format-preserving nearest-neighbor resize: PNG in → RGB PNG out,
+    PPM in → PPM out."""
+    w, h, rgb, fmt = decode_image_payload(payload)
+    resized = _resize_rgb(rgb, w, h, new_w, new_h)
+    if fmt == "png":
+        return encode_png(new_w, new_h, resized, color_type=2)
+    return encode_ppm(new_w, new_h, resized)
+
+
+# ---------------------------------------------------------------------------
+# PNG: stdlib-only (zlib) encoder/decoder — round-5 de-stub of one
+# PIL-class format (reference parity: opaque media columns,
+# /root/reference/docs/Improvements.md media notes)
+# ---------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, color_type: int = 2
+) -> bytes:
+    """Minimal-but-valid PNG writer (bit depth 8, no interlace, filter 0
+    per scanline).  ``pixels``: width*height*channels bytes."""
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full stdlib PNG decode → (width, height, color_type, pixel_bytes).
+
+    Parses the chunk stream (CRC-verified), inflates the concatenated
+    IDAT data, and reconstructs all five scanline filter types (None,
+    Sub, Up, Average, Paeth).  Supports bit depth 8, color types
+    0/2/4/6, no interlace — the shapes a training-data media pipeline
+    actually stores.  Sub/Up are numpy-vectorized (mod-256 cumsum /
+    row add); Average/Paeth are per-pixel sequential BY THE SPEC (each
+    pixel depends on the reconstructed left neighbor), looped over
+    width with bpp-wide numpy lanes."""
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG payload")
+    pos, end = len(PNG_SIGNATURE), len(payload)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= end:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            "unsupported PNG shape (need bit depth 8, no interlace)"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data does not match dimensions")
+
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    at = 0
+    for y in range(height):
+        ftype = raw[at]
+        row = np.frombuffer(raw, np.uint8, stride, at + 1)
+        at += stride + 1
+        if ftype == 0:  # None
+            cur = row.copy()
+        elif ftype == 1:  # Sub: mod-256 cumsum along x per byte lane
+            cur = (
+                row.reshape(width, bpp).cumsum(axis=0, dtype=np.uint64) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            cur = row + prev  # uint8 wraps mod 256, as the spec requires
+        elif ftype == 3:  # Average — sequential in x by spec
+            cur = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint16)
+            for x in range(width):
+                s = slice(x * bpp, (x + 1) * bpp)
+                px = row[s] + ((left + prev[s]) >> 1).astype(np.uint8)
+                cur[s] = px
+                left = px.astype(np.uint16)
+        elif ftype == 4:  # Paeth — sequential in x by spec
+            cur = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
+            for x in range(width):
+                s = slice(x * bpp, (x + 1) * bpp)
+                up = prev[s].astype(np.int16)
+                p = left + up - ul
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - up),
+                    np.abs(p - ul),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                px = (row[s].astype(np.int16) + pred).astype(np.uint8)
+                cur[s] = px
+                left = px.astype(np.int16)
+                ul = up
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return width, height, color_type, out.tobytes()
+
+
+def png_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a PNG and normalize its pixels to packed RGB bytes
+    (gray expanded, alpha dropped) — the decode_ppm-compatible shape."""
+    import numpy as np
+
+    w, h, ctype, px = decode_png(payload)
+    a = np.frombuffer(px, np.uint8).reshape(h * w, _PNG_CHANNELS[ctype])
+    if ctype == 2:
+        rgb = a
+    elif ctype == 6:
+        rgb = a[:, :3]
+    else:  # 0 or 4: replicate the gray channel
+        rgb = np.repeat(a[:, :1], 3, axis=1)
+    return w, h, rgb.tobytes()
+
+
+def decode_image_payload(payload: bytes) -> tuple[int, int, bytes, str]:
+    """Sniff the container by magic and decode → (w, h, rgb, format)."""
+    if payload.startswith(PNG_SIGNATURE):
+        w, h, rgb = png_to_rgb(payload)
+        return w, h, rgb, "png"
+    if payload.startswith(b"P6"):
+        w, h, rgb = decode_ppm(payload)
+        return w, h, rgb, "ppm"
+    raise ValueError("unrecognized image container (need PNG or P6 PPM)")
 
 
 def encode_wav(
@@ -168,8 +362,9 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """REAL decode for P6 PPM payloads: dimensions + integer mean RGB.
-    Non-PPM payloads yield nulls (decode failure is data, not a crash)."""
+    """REAL decode for P6 PPM and PNG payloads (container sniffed by
+    magic): dimensions + integer mean RGB.  Undecodable payloads yield
+    nulls (decode failure is data, not a crash)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,8 +372,8 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     raw = bytes(payload)
-                    w, h, _ = decode_ppm(raw)
-                    r, g, b = ppm_mean_rgb(raw)
+                    w, h, rgb, _fmt = decode_image_payload(raw)
+                    r, g, b = _mean_rgb(rgb, w * h)
                     rows.append((mid, w, h, r, g, b))
                 except Exception:
                     rows.append((mid, None, None, None, None, None))
@@ -227,14 +422,17 @@ def extract_audio_features(media: DataFrame, sample_every: int = 1000) -> DataFr
 
 
 def resize_images(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
-    """Nearest-neighbor resize of P6 PPM payloads → (media_id, payload)."""
+    """Nearest-neighbor resize of P6 PPM / PNG payloads (format
+    preserved) → (media_id, payload)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids, outs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    outs.append(resize_ppm(bytes(payload), new_w, new_h))
+                    outs.append(
+                        resize_image_payload(bytes(payload), new_w, new_h)
+                    )
                 except Exception:
                     outs.append(None)
                 mids.append(mid)

@@ -317,3 +317,144 @@ def test_incremental_kg_stream_matches_batch_and_resumes(spark, tmp_path):
     q3.awaitTermination()
     got3 = emitted()
     assert got1 < got3  # strictly grew, previous records intact
+
+
+def _png_with_filters(w, h, pixels, color_type, ftypes):
+    """Build a PNG whose scanlines use the given filter types, applying
+    the RFC 2083 FORWARD filters here (the module implements only the
+    inverse) — round-tripping proves the reconstruction is the true
+    mathematical inverse, not a shared implementation."""
+    import struct
+    import zlib
+
+    from neo4j_export_tool_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        _PNG_CHANNELS,
+        _png_chunk,
+    )
+
+    bpp = _PNG_CHANNELS[color_type]
+    stride = w * bpp
+    raw = bytearray()
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    prev = bytes(stride)
+    for y in range(h):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = ftypes[y % len(ftypes)]
+        raw.append(f)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (row[x] - left) % 256
+            elif f == 2:
+                v = (row[x] - up) % 256
+            elif f == 3:
+                v = (row[x] - (left + up) // 2) % 256
+            else:
+                v = (row[x] - paeth(left, up, ul)) % 256
+            raw.append(v)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filters_and_color_types_roundtrip():
+    """decode_png reconstructs every filter type (None/Sub/Up/Average/
+    Paeth) for gray / gray-alpha / RGB / RGBA at bit depth 8."""
+    import random
+
+    from neo4j_export_tool_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(7)
+    for color_type in (0, 2, 4, 6):
+        bpp = _PNG_CHANNELS[color_type]
+        w, h = 9, 7
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+        for ftypes in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            payload = _png_with_filters(w, h, pixels, color_type, ftypes)
+            dw, dh, dct, dpx = decode_png(payload)
+            assert (dw, dh, dct) == (w, h, color_type)
+            assert dpx == pixels, (color_type, ftypes)
+        # the module's own encoder (filter 0) round-trips too
+        dw, dh, dct, dpx = decode_png(encode_png(w, h, pixels, color_type))
+        assert (dw, dh, dct, dpx) == (w, h, color_type, pixels)
+
+
+def test_png_crc_and_shape_validation():
+    import pytest as _pytest
+
+    from neo4j_export_tool_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(2, 2, bytes(range(12)), 2)
+    bad = bytearray(good)
+    bad[-17] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+
+
+def test_real_png_decode_features_and_resize(spark):
+    """PNG payloads through the same Arrow-batched operators as PPM:
+    container sniffed by magic, identical features for identical pixels,
+    resize preserves the container format."""
+    from neo4j_export_tool_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_ppm,
+        extract_image_features,
+        png_to_rgb,
+        resize_images,
+    )
+
+    rgb = bytes([10, 20, 30]) * 8
+    rows = [
+        ("png_rgb", encode_png(4, 2, rgb, 2)),
+        ("png_rgba", encode_png(2, 2, bytes([50, 60, 70, 255]) * 4, 6)),
+        ("png_gray", encode_png(2, 2, bytes([9, 9, 9, 9]), 0)),
+        ("ppm_twin", encode_ppm(4, 2, rgb)),
+        ("bad", b"\x89PNG\r\n\x1a\ntruncated"),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert (feats["png_rgb"]["width"], feats["png_rgb"]["height"]) == (4, 2)
+    # identical pixels ⇒ identical features regardless of container
+    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+        assert feats["png_rgb"][k] == feats["ppm_twin"][k]
+    assert (feats["png_rgba"]["mean_r"], feats["png_rgba"]["mean_b"]) == (50, 70)
+    assert (feats["png_gray"]["mean_r"], feats["png_gray"]["mean_g"]) == (9, 9)
+    assert feats["bad"]["width"] is None
+
+    resized = {r["media_id"]: r["payload"] for r in
+               resize_images(media, 2, 1).collect()}
+    out = bytes(resized["png_rgb"])
+    dw, dh, dct, dpx = decode_png(out)  # still a PNG after resize
+    assert (dw, dh, dct) == (2, 1, 2) and dpx == bytes([10, 20, 30] * 2)
+    w, h, flat = png_to_rgb(bytes(resized["png_gray"]))
+    assert (w, h) == (2, 1) and flat == bytes([9, 9, 9] * 2)
+    assert resized["bad"] is None
