@@ -78,6 +78,7 @@ def jaccard_pairs(
     threshold_pct: int = 60,
     shingle_n: int = 3,
     max_shingle_df: int | None = None,
+    max_shingle_df_frac: float | None = None,
     use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard pairs: (doc_a, doc_b, shared, n_a, n_b)
@@ -90,14 +91,28 @@ def jaccard_pairs(
     kernel into a quadratic skew bomb at web scale.  Pruning only shrinks
     ``shared`` counts (sizes stay exact), so surviving pairs are a subset.
 
+    ``max_shingle_df_frac`` is the SCALE-SAFE form: the cap as a fraction
+    of the corpus document count (resolved as ``max(2, floor(frac·N))``
+    via one count over the already-materialized shingle-set table).  An
+    absolute cap of 20 is always wrong at 10^12 docs — "appears in >0.1%
+    of documents" is the boilerplate definition that survives a 100×
+    scale-up.  Mutually exclusive with ``max_shingle_df``.
+
     The shingle-set plan is localCheckpoint'd: sizes, the df counts, and
     BOTH sides of the self-join reuse one materialization instead of
     re-tokenizing the corpus per branch (~5 evaluations otherwise); the
     blocks free themselves when the plan is garbage-collected.
     """
+    if max_shingle_df is not None and max_shingle_df_frac is not None:
+        raise ValueError(
+            "pass max_shingle_df (absolute) or max_shingle_df_frac "
+            "(fraction of corpus), not both"
+        )
     sets = _materialize(
         _shingle_sets(df, text_col, id_col, shingle_n), use_local_checkpoint
     )
+    if max_shingle_df_frac is not None:
+        max_shingle_df = max(2, int(max_shingle_df_frac * sets.count()))
     sizes = sets.select("doc", F.size("shingles").alias("n"))
     posting = sets.select("doc", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
@@ -171,6 +186,7 @@ def minhash_lsh_pairs(
     seed: int = 1,
     use_local_checkpoint: bool = True,
     max_bucket_size: int | None = None,
+    max_bucket_frac: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over word shingles, exact-verified.
 
@@ -183,7 +199,7 @@ def minhash_lsh_pairs(
     return minhash_lsh_pairs_from_sets(
         sets, threshold_pct=threshold_pct, k=k, bands=bands, seed=seed,
         use_local_checkpoint=use_local_checkpoint,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, max_bucket_frac=max_bucket_frac,
     )
 
 
@@ -195,6 +211,7 @@ def minhash_lsh_pairs_from_sets(
     seed: int = 1,
     use_local_checkpoint: bool = True,
     max_bucket_size: int | None = None,
+    max_bucket_frac: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH over a precomputed (doc, shingles array<string>) table —
     the generic entry used for both document near-dup (word shingles) and
@@ -223,7 +240,14 @@ def minhash_lsh_pairs_from_sets(
     lost (a recall trade, like every LSH df-cap); true near-dup pairs
     still surface through any of the other ``bands-1`` bands, so the
     recall loss is bounded by the probability that EVERY band of a pair
-    lands hot — small unless the corpus is pathologically self-similar."""
+    lands hot — small unless the corpus is pathologically self-similar.
+
+    ``max_bucket_frac`` is the SCALE-SAFE form: the cap as a fraction of
+    the corpus document count (``max(2, floor(frac·N))``, N from one
+    count over the already-materialized set table) — an absolute bucket
+    cap is always wrong at 10^12 docs, a "no bucket may hold >0.1% of
+    the corpus" rule is not.  Mutually exclusive with
+    ``max_bucket_size``."""
     from neo4j_export_tool_spark.functions.similarity import (
         MERSENNE_PRIME,
         _lcg,
@@ -238,9 +262,16 @@ def minhash_lsh_pairs_from_sets(
         b = next(rnd) % MERSENNE_PRIME
         params.append((a, b))
 
+    if max_bucket_size is not None and max_bucket_frac is not None:
+        raise ValueError(
+            "pass max_bucket_size (absolute) or max_bucket_frac "
+            "(fraction of corpus), not both"
+        )
     # the shingle-set plan feeds the signature kernel AND both verify
     # joins; materialize it once (blocks freed when the plan is GC'd)
     sets = _materialize(sets, use_local_checkpoint)
+    if max_bucket_frac is not None:
+        max_bucket_size = max(2, int(max_bucket_frac * sets.count()))
 
     import hashlib
     from collections.abc import Iterator

@@ -177,3 +177,60 @@ def test_blocked_gemm_equals_codegen_bitexact(spark):
         df, "embedding", "vec_id", min_cosine=0.5, strategy="codegen"))
     assert gemm == exact
     assert len(gemm) >= 40  # planted pairs actually present
+
+
+def test_fractional_caps_match_absolute_at_same_n(spark, pages):
+    """The scale-safe fractional knobs: at matched N, frac·N resolving to
+    the same integer cap must give BIT-IDENTICAL output to the absolute
+    form, and the subset/prune semantics carry over (COVERAGE.md §sf1:
+    an absolute cap is always wrong at 10^12 docs)."""
+    n = pages.count()
+
+    # --- jaccard: frac chosen so floor(frac·N) == 10 on the boilerplate
+    # corpus from the stop-shingle test
+    boiler = "click here to subscribe to our newsletter today and save"
+    uniq = [f"topic{i} " + boiler for i in range(30)]
+    body = " ".join(f"w{j}" for j in range(40))
+    rows = [(i, t) for i, t in enumerate(uniq)]
+    rows += [(100, body + " ending one"), (101, body + " ending two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_docs = 32
+    absolute = jaccard_pairs(
+        docs, "text", "doc_id", threshold_pct=60, max_shingle_df=10
+    )
+    frac = jaccard_pairs(
+        docs, "text", "doc_id", threshold_pct=60,
+        max_shingle_df_frac=10.4 / n_docs,  # floor → 10
+    )
+    rows_a = sorted(map(tuple, absolute.collect()))
+    rows_f = sorted(map(tuple, frac.collect()))
+    assert rows_a == rows_f and rows_a
+
+    # --- minhash: same equivalence on the pages corpus
+    cap = 5
+    abs_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            pages, "text", "url", max_bucket_size=cap
+        ).collect()
+    }
+    frac_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            pages, "text", "url", max_bucket_frac=(cap + 0.7) / n
+        ).collect()
+    }
+    assert frac_pairs == abs_pairs
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(pages, "text", "url").collect()
+    }
+    assert frac_pairs <= uncapped  # prune-only semantics
+
+    # both forms at once is a usage error
+    with pytest.raises(ValueError):
+        jaccard_pairs(docs, "text", "doc_id", max_shingle_df=5,
+                      max_shingle_df_frac=0.1).collect()
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(pages, "text", "url", max_bucket_size=5,
+                          max_bucket_frac=0.1).collect()
