@@ -56,6 +56,20 @@ def word_map_sql(replica: int) -> str:
     return "MAP {" + pairs + "}"
 
 
+def word_suffix_sql(replica: int) -> str:
+    """OPEN-VOCAB transform (round-5): suffix every word per replica
+    (``join`` → ``joinr3``) instead of permuting within the closed
+    vocabulary.  The vocabulary now GROWS linearly with the factor — the
+    web-corpus shape — so shingle document frequencies stay at the
+    per-replica (sf0.1) level and q13's stop-shingle prune no longer
+    empties the corpus (the closed-vocab artifact VERDICT r4 flagged:
+    with 31 words total, EVERY shingle becomes a stop-shingle at 10×).
+    Near-dup structure inside a replica is preserved (suffixing is a
+    bijection on words, hence on shingles); cross-replica shingle overlap
+    is exactly zero."""
+    return f"w -> w || 'r{replica}'"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -63,6 +77,9 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch", "sf1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--open-vocab", action="store_true",
+                    help="grow the vocabulary with scale (per-replica word "
+                         "suffixing) instead of permuting the closed one")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -125,16 +142,18 @@ def main() -> None:
     def docs_select(r: int) -> str:
         if r == 0:
             return f"SELECT * FROM {src('documents')}"
+        if args.open_vocab:
+            xform = word_suffix_sql(r)
+        else:
+            xform = f"w -> ({word_map_sql(r)}[w])[1]"
         return f"""
         SELECT doc_id + {r * 1_000_000} AS doc_id,
                list_aggregate(
-                 list_transform(string_split(text, ' '),
-                                w -> ({word_map_sql(r)}[w])[1]),
+                 list_transform(string_split(text, ' '), {xform}),
                  'string_agg', ' ') AS text,
                lang, source,
                length(list_aggregate(
-                 list_transform(string_split(text, ' '),
-                                w -> ({word_map_sql(r)}[w])[1]),
+                 list_transform(string_split(text, ' '), {xform}),
                  'string_agg', ' ')) AS n_chars
         FROM {src('documents')}"""
 
