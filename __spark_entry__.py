@@ -1105,6 +1105,36 @@ def _q48_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q49_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (round-5, Lee et al.-style): every
+    position of every word 12-gram occurring in ≥2 distinct documents —
+    the actionable cut-these-spans list.  Pure column exprs (split →
+    window transform → posexplode) + one count-distinct agg + a semi-join
+    fan-back; integer/string exact, so the DuckDB twin is the oracle."""
+    from neo4j_export_tool_spark.operators.dedup import duplicated_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        duplicated_ngram_spans(docs, "text", "doc_id", n=12, min_docs=2)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id", "pos")
+    )
+
+
+def _q50_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage chunking (round-5): 32-token windows, 8-token overlap,
+    integer layout arithmetic + sha256 stable chunk ids — shuffle-free
+    linear map (`operators/chunking.py`)."""
+    from neo4j_export_tool_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, "text", "doc_id", chunk_tokens=32, overlap=8)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def _q46_oracle() -> str:
     """Closed-form q46 oracle: the pure-Python BPE twin (independent of
     Spark) learns the same seed merges and encodes the 31-word closed
@@ -1224,6 +1254,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q46_bpe_encode": _q46_bpe_encode,
         "q47_ann_ivf": _q47_ann_ivf,
         "q48_png_decode": _q48_png_decode,
+        "q49_dup_ngram_spans": _q49_dup_ngram_spans,
+        "q50_chunking": _q50_chunking,
     }
 
 
@@ -1814,6 +1846,47 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN doc_id % 3 = 0 THEN doc_id % 251
                          ELSE (doc_id * 13) % 251 END)::INT AS mean_b
             FROM documents ORDER BY doc_id
+        """,
+        # q49: duplicated 12-gram spans — same split/window/df-count
+        # arithmetic, integer/string exact
+        "q49_dup_ngram_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, k - 1 AS pos,
+                     array_to_string(t[k:k+11], ' ') AS gram
+              FROM toks, unnest(generate_series(1, len(t) - 11)) AS g(k)
+              WHERE len(t) >= 12
+            ), hot AS (
+              SELECT gram FROM grams
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id, pos::INT AS pos, gram FROM grams
+            WHERE gram IN (SELECT gram FROM hot)
+            ORDER BY doc_id, pos
+        """,
+        # q50: 32/8 token chunking — integer layout arithmetic
+        # (n_chunks = 1 + max(0, floor((n-32+23)/24))) and sha256 stable ids
+        "q50_chunking": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+            ), meta AS (
+              SELECT doc_id, t, n,
+                     1 + greatest(0, (n - 32 + 23) // 24) AS n_chunks
+              FROM toks WHERE n > 0
+            ), c AS (
+              SELECT doc_id, k AS chunk_idx, (k * 24)::INT AS tok_start,
+                     least(32, n - k * 24)::INT AS n_tokens,
+                     array_to_string(t[k*24+1 : k*24+32], ' ') AS chunk_text
+              FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(k)
+            )
+            SELECT doc_id, chunk_idx::INT AS chunk_idx, tok_start, n_tokens,
+                   chunk_text,
+                   sha256(concat_ws(':', doc_id, chunk_idx, chunk_text))
+                     AS chunk_sha256
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         # q44: the bucketed-table round trip must reproduce the same
         # closed-form node hashes q07 pins

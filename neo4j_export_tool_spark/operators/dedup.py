@@ -611,3 +611,64 @@ def _embedding_neardup_pairs_codegen(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 20,
+    min_docs: int = 2,
+    max_gram_df: int | None = None,
+    max_gram_df_frac: float | None = None,
+) -> DataFrame:
+    """Exact substring-level dedup: every position of every word n-gram
+    that occurs in ≥ ``min_docs`` DISTINCT documents →
+    (doc, pos, gram) — the actionable span list for cut-duplicated-text
+    training-data hygiene (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better": exact duplicated substrings, here
+    bounded to token n-grams so the dataflow stays one explode + one
+    keyed agg instead of a distributed suffix array).
+
+    Scale shape: the posting build is a pure column-expression transform
+    (split → slice windows → posexplode, no Python); the hot-gram table
+    is one groupBy (count distinct docs) and the span fan-back a
+    broadcast-friendly semi-join on the gram key.  Output is linear in
+    the corpus (every row is an actual position).  ``max_gram_df`` /
+    ``max_gram_df_frac`` (mutually exclusive; same contract as the
+    jaccard/minhash caps) additionally DROP grams above a document
+    frequency — boilerplate so common it is better handled by a
+    boilerplate filter than by span surgery; at 10^12 docs use the
+    fractional form.
+    """
+    if max_gram_df is not None and max_gram_df_frac is not None:
+        raise ValueError(
+            "pass max_gram_df (absolute) or max_gram_df_frac "
+            "(fraction of corpus), not both"
+        )
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+    if max_gram_df_frac is not None:
+        max_gram_df = max(min_docs, int(max_gram_df_frac * toks.count()))
+    grams = (
+        toks.filter(F.size("t") >= n)
+        .select(
+            "doc",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    df_counts = grams.groupBy("gram").agg(
+        F.count_distinct("doc").alias("n_docs")
+    )
+    hot = df_counts.filter(F.col("n_docs") >= min_docs)
+    if max_gram_df is not None:
+        hot = hot.filter(F.col("n_docs") <= max_gram_df)
+    out = grams.join(hot.select("gram"), "gram", "left_semi")
+    return out.select("doc", "pos", "gram")

@@ -1,0 +1,87 @@
+"""Round-5 training-data ops: duplicated n-gram spans + passage chunking."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_export_tool_spark.operators.chunking import chunk_documents
+from neo4j_export_tool_spark.operators.dedup import duplicated_ngram_spans
+
+
+def test_dup_ngram_spans_finds_planted_span(spark):
+    """A 6-token span shared verbatim by two docs is reported at every
+    position it occupies in BOTH docs; unique text yields nothing."""
+    shared = "one two three four five six"
+    rows = [
+        (1, f"prefixA {shared} tailA tailB"),
+        (2, f"{shared} something else entirely here"),
+        (3, "totally unrelated words that repeat nowhere at all today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_ngram_spans(df, "text", "doc_id", n=6, min_docs=2)
+    got = {(r["doc"], r["pos"], r["gram"]) for r in out.collect()}
+    assert (1, 1, shared) in got
+    assert (2, 0, shared) in got
+    assert all(d != 3 for d, _, _ in got)
+    # every reported gram really does occur in >= 2 distinct docs
+    by_gram = {}
+    for d, _, g in got:
+        by_gram.setdefault(g, set()).add(d)
+    assert all(len(v) >= 2 for v in by_gram.values())
+
+
+def test_dup_ngram_spans_df_caps(spark):
+    """max_gram_df drops boilerplate above the df ceiling; the fractional
+    form resolves to the same cap at matched N; both at once raises."""
+    boiler = "b1 b2 b3"
+    rows = [(i, f"u{i} {boiler}") for i in range(10)]  # gram in 10 docs
+    rows += [(100, "x1 x2 x3 y"), (101, "x1 x2 x3 z")]  # gram in 2 docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = duplicated_ngram_spans(df, "text", "doc_id", n=3)
+    assert any(r["gram"] == boiler for r in uncapped.collect())
+    capped = duplicated_ngram_spans(df, "text", "doc_id", n=3, max_gram_df=5)
+    got = [r["gram"] for r in capped.collect()]
+    assert boiler not in got and "x1 x2 x3" in got
+    frac = duplicated_ngram_spans(
+        df, "text", "doc_id", n=3, max_gram_df_frac=5.5 / 12
+    )
+    assert sorted(map(tuple, frac.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+    with pytest.raises(ValueError):
+        duplicated_ngram_spans(
+            df, "text", "doc_id", max_gram_df=5, max_gram_df_frac=0.5
+        ).collect()
+
+
+def test_chunking_layout_and_ids(spark):
+    """Window layout: stride = chunk-overlap, last chunk short, single
+    short doc → one chunk, empty text → no rows; adjacent chunks overlap
+    by exactly `overlap` tokens; sha id is content-derived."""
+    text70 = " ".join(f"w{i}" for i in range(70))
+    rows = [(1, text70), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=32, overlap=8)
+    rows_out = {(r["doc"], r["chunk_idx"]): r for r in out.collect()}
+    # 70 tokens, stride 24 -> starts 0,24,48 (48+32>70 -> short last)
+    assert {k for k in rows_out if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows_out[(1, 0)]["tok_start"] == 0
+    assert rows_out[(1, 1)]["tok_start"] == 24
+    assert rows_out[(1, 2)]["n_tokens"] == 70 - 48
+    # overlap: last 8 tokens of chunk 0 == first 8 of chunk 1
+    c0 = rows_out[(1, 0)]["chunk_text"].split(" ")
+    c1 = rows_out[(1, 1)]["chunk_text"].split(" ")
+    assert c0[-8:] == c1[:8]
+    # short doc: one whole-text chunk
+    assert rows_out[(2, 0)]["chunk_text"] == "a b c"
+    assert rows_out[(2, 0)]["n_tokens"] == 3
+    # empty text (split -> ['']): size 1, one chunk of the empty token;
+    # semantics: filter happens on token count > 0, '' splits to ['']
+    # so doc 3 yields one 1-token chunk of ""
+    assert len(rows_out[(1, 0)]["chunk_sha256"]) == 64
+    # reconstruction: concatenating strides covers the doc exactly
+    rebuilt = c0[:24] + c1[:24] + rows_out[(1, 2)]["chunk_text"].split(" ")
+    assert rebuilt == text70.split(" ")
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=8)
