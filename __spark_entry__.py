@@ -1135,6 +1135,67 @@ def _q50_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q51_URL_CASES_SPARK = None  # built lazily in _q51
+
+
+def _q51_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (round-5, `functions/url.py`): deterministic
+    per-doc URL variants (case/port/www/fragment/tracking-param/query-
+    order differences plus one non-URL row) canonicalized by the pure
+    column-expression chain; the oracle builds the SAME strings and runs
+    the DuckDB twin of the same regex chain (Java-regex ∩ RE2
+    discipline, like q37)."""
+    from neo4j_export_tool_spark.functions.url import canonical_url_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m7 = (d % 7).cast("string")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 5 == 0,
+               F.concat(F.lit("HTTP://WWW.Site"), m7,
+                        F.lit(".com:80/a/b/?b=2&a=1&utm_source=x#frag")))
+        .when(d % 5 == 1,
+              F.concat(F.lit("https://user:pw@Example.org:443/path"), ds,
+                       F.lit("//")))
+        .when(d % 5 == 2,
+              F.concat(F.lit("https://cdn.site"), m7,
+                       F.lit(".net:8443/x?gclid=99&z=1&y=2")))
+        .when(d % 5 == 3,
+              F.concat(F.lit("http://site"), m7, F.lit(".com?fbclid=1")))
+        .otherwise(F.concat(F.lit("not a url "), ds))
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .withColumn("canonical_url", canonical_url_col(F.col("url")))
+        .orderBy("doc_id")
+    )
+
+
+def _q51_oracle() -> str:
+    from neo4j_export_tool_spark.functions.url import canonical_url_oracle_sql
+
+    url_sql = """
+        (CASE
+          WHEN doc_id % 5 = 0 THEN 'HTTP://WWW.Site' || (doc_id % 7)
+               || '.com:80/a/b/?b=2&a=1&utm_source=x#frag'
+          WHEN doc_id % 5 = 1 THEN 'https://user:pw@Example.org:443/path'
+               || doc_id || '//'
+          WHEN doc_id % 5 = 2 THEN 'https://cdn.site' || (doc_id % 7)
+               || '.net:8443/x?gclid=99&z=1&y=2'
+          WHEN doc_id % 5 = 3 THEN 'http://site' || (doc_id % 7)
+               || '.com?fbclid=1'
+          ELSE 'not a url ' || doc_id
+        END)
+    """
+    return f"""
+        WITH u AS (SELECT doc_id, {url_sql} AS url FROM documents)
+        SELECT doc_id, url,
+               {canonical_url_oracle_sql('url')} AS canonical_url
+        FROM u ORDER BY doc_id
+    """
+
+
 def _q46_oracle() -> str:
     """Closed-form q46 oracle: the pure-Python BPE twin (independent of
     Spark) learns the same seed merges and encodes the 31-word closed
@@ -1256,6 +1317,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q48_png_decode": _q48_png_decode,
         "q49_dup_ngram_spans": _q49_dup_ngram_spans,
         "q50_chunking": _q50_chunking,
+        "q51_url_canonical": _q51_url_canonical,
     }
 
 
@@ -1888,6 +1950,9 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_sha256
             FROM c ORDER BY doc_id, chunk_idx
         """,
+        # q51: URL canonicalization — oracle builds the same URL variants
+        # and runs the DuckDB twin of the same regex chain
+        "q51_url_canonical": _q51_oracle(),
         # q44: the bucketed-table round trip must reproduce the same
         # closed-form node hashes q07 pins
         "q44_graph_tables": f"""

@@ -85,3 +85,45 @@ def test_chunking_layout_and_ids(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=8)
+
+
+def test_url_canonicalization_rules(spark):
+    """Rule-by-rule: case folding, www/userinfo strip, default-port drop,
+    non-default port kept, trailing-slash collapse, fragment drop,
+    tracking-param removal, stable query sort, non-URL -> NULL."""
+    from neo4j_export_tool_spark.functions.url import canonical_url_col
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b/?b=2&a=1&utm_source=x#f",
+         "http://ex.com/A/b?a=1&b=2"),
+        ("https://user:pw@host.org:443/p//", "https://host.org/p"),
+        ("https://h.net:8443/x?gclid=9&z=1&y=2", "https://h.net:8443/x?y=2&z=1"),
+        ("http://site.com?fbclid=1", "http://site.com/"),
+        ("http://site.com", "http://site.com/"),
+        ("ftp://Files.example.com/Data", "ftp://files.example.com/Data"),
+        ("no scheme here", None),
+        ("https://a.com/?utm_campaign=z&utm_medium=y", "https://a.com/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonical_url_col(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+    # idempotent: canonical(canonical(u)) == canonical(u)
+    twice = {
+        r["i"]: r["c2"]
+        for r in df.select(
+            "i",
+            canonical_url_col(
+                canonical_url_col(F.col("url"))
+            ).alias("c2"),
+        ).collect()
+    }
+    assert twice == got
