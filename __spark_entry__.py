@@ -1135,6 +1135,77 @@ def _q50_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q52_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer PageRank over the doc→concept mention graph
+    (round-5, `operators/pagerank.py`): 5 exact-int64 rounds, damping
+    85/100, base 10^12 total mass.  Every transfer is an integer `div`
+    and every inbound sum an associative int64 sum, so the ranks are
+    independent of partitioning and shuffle order — the DuckDB oracle
+    replays the identical recurrence and must match bit-for-bit."""
+    from neo4j_export_tool_spark.operators.pagerank import pagerank_int
+    from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
+
+    m = doc_mentions(load_documents(spark, sf_dir))
+    edges = m.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("concept:"), F.col("concept")).alias("dst"),
+    )
+    return pagerank_int(edges, "src", "dst", n_iters=5).orderBy("node")
+
+
+def _q52_oracle(n_iters: int = 5, damping_pct: int = 85,
+                base: int = 10**12) -> str:
+    rounds = []
+    for k in range(1, n_iters + 1):
+        rounds.append(f"""r{k} AS (
+          SELECT n.node,
+                 (SELECT ({100 - damping_pct} * {base}) // (100 * n) FROM params)
+                 + coalesce(c.inbound, 0) AS rank_int
+          FROM nodes n LEFT JOIN (
+            SELECT ed.dst AS node,
+                   sum(r.rank_int * {damping_pct} // (100 * ed.outdeg))
+                     AS inbound
+            FROM ed JOIN r{k - 1} r ON ed.src = r.node
+            GROUP BY ed.dst
+          ) c USING (node)
+        )""")
+    return f"""
+        {_MENTIONS_CTE.rstrip()},
+        edges AS (
+          SELECT 'doc:' || doc_id AS src, 'concept:' || concept AS dst
+          FROM mentions
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        ed AS (SELECT e.src, e.dst, d.outdeg
+               FROM edges e JOIN deg d USING (src)),
+        params AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (
+          SELECT node, (SELECT {base} // n FROM params) AS rank_int
+          FROM nodes
+        ),
+        {",".join(rounds)}
+        SELECT node, CAST(rank_int AS BIGINT) AS rank_int
+        FROM r{n_iters} ORDER BY node
+    """
+
+
+def _q53_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the mention graph (round-5): per-node out/in
+    degree via two keyed counts + one full-outer join."""
+    from neo4j_export_tool_spark.operators.pagerank import degree_stats
+    from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
+
+    m = doc_mentions(load_documents(spark, sf_dir))
+    edges = m.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("concept:"), F.col("concept")).alias("dst"),
+    )
+    return degree_stats(edges, "src", "dst").orderBy("node")
+
+
 _Q51_URL_CASES_SPARK = None  # built lazily in _q51
 
 
@@ -1318,6 +1389,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q49_dup_ngram_spans": _q49_dup_ngram_spans,
         "q50_chunking": _q50_chunking,
         "q51_url_canonical": _q51_url_canonical,
+        "q52_pagerank_int": _q52_pagerank,
+        "q53_degree_stats": _q53_degree_stats,
     }
 
 
@@ -1953,6 +2026,26 @@ def oracle_sql() -> dict[str, str]:
         # q51: URL canonicalization — oracle builds the same URL variants
         # and runs the DuckDB twin of the same regex chain
         "q51_url_canonical": _q51_oracle(),
+        # q52: integer PageRank — the oracle replays the identical
+        # int64 recurrence (5 chained CTE rounds), bit-exact by design
+        "q52_pagerank_int": _q52_oracle(),
+        # q53: degree profile over the same mention graph
+        "q53_degree_stats": f"""
+            {_MENTIONS_CTE},
+            edges AS (
+              SELECT 'doc:' || doc_id AS src, 'concept:' || concept AS dst
+              FROM mentions
+            ),
+            outd AS (SELECT src AS node, count(*) AS out_degree
+                     FROM edges GROUP BY src),
+            ind AS (SELECT dst AS node, count(*) AS in_degree
+                    FROM edges GROUP BY dst)
+            SELECT node,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree
+            FROM outd FULL JOIN ind USING (node)
+            ORDER BY node
+        """,
         # q44: the bucketed-table round trip must reproduce the same
         # closed-form node hashes q07 pins
         "q44_graph_tables": f"""

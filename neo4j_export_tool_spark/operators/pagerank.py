@@ -1,0 +1,111 @@
+"""Deterministic integer PageRank over the materialized KG edges.
+
+Floating-point PageRank cannot be verified bit-exactly across engines:
+a shuffled double sum is order-dependent.  This variant keeps ALL
+arithmetic in int64 — ranks carry ``base`` total mass, every transfer is
+an exact integer division (``div``), and the per-node inbound sum is an
+associative int64 sum, so the result is independent of partitioning,
+shuffle order, and engine (a DuckDB twin reproduces it bit-for-bit; the
+q52 gate does exactly that).  Rounding mass lost to the floors (and the
+out-mass of dangling nodes) simply decays — the standard "lossy" PR
+formulation; ranks remain a total order identical to float PR's up to
+floor resolution (1 part in ``base``).
+
+Iteration k:  rank'(v) = teleport + Σ_{u→v} (rank(u)·damping_pct) div
+(100·outdeg(u)),  with teleport = (100-damping_pct)·base div (100·n).
+
+Scale shape: one persisted (src, outdeg) edge table; each round is a
+broadcast-or-shuffle join of the rank table (node-sized) to edges plus
+one keyed int sum — the textbook DataFrame PR loop.  Lineage is cut per
+round with localCheckpoint (same discipline as connected components,
+`operators/components.py`), so 100-round runs do not accrete plans.
+
+Overflow: rank ≤ base ≤ 10^12, rank·damping_pct ≤ 8.5·10^13 ≪ 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    base: int = 10**12,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(node, rank_int) after ``n_iters`` exact-integer PR rounds."""
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(deg, "src")
+    if use_local_checkpoint:
+        e_deg = e_deg.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    else:
+        e_deg = e_deg.persist()
+        nodes = nodes.persist()
+
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank_int long"
+        )
+    teleport = (100 - damping_pct) * base // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(base // n).cast("long").alias("rank_int")
+    )
+    for _ in range(n_iters):
+        contribs = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"rank_int * {damping_pct} div (100 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport) + F.coalesce(F.col("inbound"), F.lit(0))
+            ).cast("long").alias("rank_int"),
+        )
+        if use_local_checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def degree_stats(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """(node, out_degree, in_degree) — the first thing anyone asks of a
+    freshly materialized graph; one union + two keyed counts."""
+    out_d = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+    )
+    in_d = (
+        edges.groupBy(F.col(dst_col).alias("node"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+    )
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -127,3 +127,56 @@ def test_url_canonicalization_rules(spark):
         ).collect()
     }
     assert twice == got
+
+
+def test_pagerank_int_semantics(spark):
+    """Closed-form 3-node chain a->b->c (+ c dangling): exact integer
+    recurrence checked by hand; persist path == localCheckpoint path;
+    mass never exceeds base; hub of a star outranks leaves."""
+    from neo4j_export_tool_spark.operators.pagerank import (
+        degree_stats,
+        pagerank_int,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    base, n = 10**12, 3
+    tel = 15 * base // 300
+    r = {"a": base // n, "b": base // n, "c": base // n}
+    for _ in range(5):
+        r = {
+            "a": tel,
+            "b": tel + r["a"] * 85 // 100,
+            "c": tel + r["b"] * 85 // 100,
+        }
+    got = {
+        x["node"]: x["rank_int"]
+        for x in pagerank_int(edges, "src", "dst", n_iters=5).collect()
+    }
+    assert got == r
+    # persist fallback path is bit-identical
+    got2 = {
+        x["node"]: x["rank_int"]
+        for x in pagerank_int(
+            edges, "src", "dst", n_iters=5, use_local_checkpoint=False
+        ).collect()
+    }
+    assert got2 == got
+    assert sum(got.values()) <= base  # floors + dangling only lose mass
+
+    # star: hub receives all leaf mass
+    star = spark.createDataFrame(
+        [(f"l{i}", "hub") for i in range(10)], "src string, dst string"
+    )
+    sr = {
+        x["node"]: x["rank_int"]
+        for x in pagerank_int(star, "src", "dst", n_iters=3).collect()
+    }
+    assert sr["hub"] > max(v for k, v in sr.items() if k != "hub")
+
+    degs = {
+        x["node"]: (x["out_degree"], x["in_degree"])
+        for x in degree_stats(star, "src", "dst").collect()
+    }
+    assert degs["hub"] == (0, 10) and degs["l0"] == (1, 0)
