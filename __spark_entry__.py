@@ -1206,6 +1206,28 @@ def _q53_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_stats(edges, "src", "dst").orderBy("node")
 
 
+def _q54_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding negative sampling (round-5,
+    `functions/sampling.py::negative_samples`): k=2 deterministic
+    corrupted-tail negatives per mention triple, pool = sorted distinct
+    objects kept in-plan (collect_set → broadcast crossJoin).  The
+    60-bit md5-prefix pick is the q42 recipe, so the oracle replays the
+    sampling verbatim."""
+    from neo4j_export_tool_spark.functions.sampling import negative_samples
+    from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
+
+    m = doc_mentions(load_documents(spark, sf_dir))
+    triples = m.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("subj"),
+        F.lit("MENTIONS").alias("pred"),
+        F.col("concept").alias("obj"),
+    )
+    pool_df = triples.select(F.sort_array(F.collect_set("obj")).alias("pool"))
+    return negative_samples(
+        triples, "subj", "pred", "obj", pool_df, k=2
+    ).orderBy("subj", "obj", "neg_idx")
+
+
 _Q51_URL_CASES_SPARK = None  # built lazily in _q51
 
 
@@ -1391,6 +1413,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q51_url_canonical": _q51_url_canonical,
         "q52_pagerank_int": _q52_pagerank,
         "q53_degree_stats": _q53_degree_stats,
+        "q54_negative_samples": _q54_negative_samples,
     }
 
 
@@ -2045,6 +2068,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(in_degree, 0) AS in_degree
             FROM outd FULL JOIN ind USING (node)
             ORDER BY node
+        """,
+        # q54: corrupted-tail negatives — same md5-prefix pick (q42
+        # recipe) over the same sorted pool, replayed verbatim
+        "q54_negative_samples": f"""
+            {_MENTIONS_CTE},
+            t AS (
+              SELECT 'doc:' || doc_id AS subj, 'MENTIONS' AS pred,
+                     concept AS obj
+              FROM mentions
+            ),
+            p AS (SELECT list_sort(list(DISTINCT obj)) AS pool FROM t),
+            e AS (
+              SELECT subj, pred, obj, i.i AS neg_idx
+              FROM t CROSS JOIN (SELECT unnest([1, 2]) AS i) i
+            ),
+            x AS (
+              SELECT e.*, p.pool,
+                     ('0x' || substr(md5('neg:' || subj || ':' || pred
+                        || ':' || obj || ':' || neg_idx), 1, 15))::BIGINT
+                       % len(p.pool) AS idx
+              FROM e CROSS JOIN p
+            )
+            SELECT subj, pred, obj, neg_idx::INT AS neg_idx,
+                   CASE WHEN pool[(idx + 1)::INT] = obj
+                        THEN pool[(((idx + 1) % len(pool)) + 1)::INT]
+                        ELSE pool[(idx + 1)::INT] END AS neg_obj
+            FROM x ORDER BY subj, obj, neg_idx
         """,
         # q44: the bucketed-table round trip must reproduce the same
         # closed-form node hashes q07 pins

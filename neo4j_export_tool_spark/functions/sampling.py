@@ -45,3 +45,46 @@ def mixture_sample(
     percentage (``rate_col`` — any integer column expression, e.g. a CASE
     over the source column or a joined-in rates dimension)."""
     return df.filter(portable_bucket(F.col(id_col), 100, salt) < rate_col)
+
+
+def negative_samples(
+    triples: DataFrame,
+    subj_col: str,
+    pred_col: str,
+    obj_col: str,
+    pool_df: DataFrame,
+    k: int = 2,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic corrupted-tail negatives for KG-embedding training
+    (the TransE-family sampling step): for each (s, p, o) emit ``k`` rows
+    (s, p, o, neg_idx, neg_obj) with
+    ``neg_obj = pool[h(s,p,o,i) % |pool|]``, cyclically bumped one slot
+    while it equals the true object.
+
+    ``pool_df`` is a one-row DataFrame with a sorted ARRAY column named
+    ``pool`` (e.g. ``triples.select(F.sort_array(F.collect_set(obj))
+    .alias("pool"))``) — broadcast-cross-joined in, so the
+    candidate-entity universe stays in-plan with no driver collect.  The hash is the same
+    60-bit md5 prefix as `portable_bucket`, so a DuckDB oracle replays
+    the sampling verbatim; reproducible across runs, engines and
+    partitionings, and resume-consistent like `mixture_sample`.
+    Requires |pool| ≥ 2 for the bump to terminate.
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    n = F.size("pool")
+    base = triples.select(s.alias("subj"), p.alias("pred"), o.alias("obj"))
+    exploded = base.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("neg_idx")
+    ).crossJoin(F.broadcast(pool_df.select(F.col("pool"))))
+    key = F.concat_ws(
+        ":", F.lit(salt), F.col("subj"), F.col("pred"), F.col("obj"),
+        F.col("neg_idx").cast("string"),
+    )
+    idx = shingle_hash_col(key) % n
+    cand = F.element_at(F.col("pool"), (idx + 1).cast("int"))
+    bumped = F.element_at(F.col("pool"), (((idx + 1) % n) + 1).cast("int"))
+    return exploded.select(
+        "subj", "pred", "obj", "neg_idx",
+        F.when(cand == F.col("obj"), bumped).otherwise(cand).alias("neg_obj"),
+    )

@@ -180,3 +180,26 @@ def test_pagerank_int_semantics(spark):
         for x in degree_stats(star, "src", "dst").collect()
     }
     assert degs["hub"] == (0, 10) and degs["l0"] == (1, 0)
+
+
+def test_negative_samples_semantics(spark):
+    """Negatives never equal the true object, are drawn from the pool,
+    give exactly k rows per triple, and are bit-stable across runs."""
+    from neo4j_export_tool_spark.functions.sampling import negative_samples
+    from pyspark.sql import functions as F
+
+    triples = spark.createDataFrame(
+        [("s1", "P", "a"), ("s2", "P", "b"), ("s3", "Q", "c")],
+        "subj string, pred string, obj string",
+    )
+    pool_df = triples.select(F.sort_array(F.collect_set("obj")).alias("pool"))
+    out = negative_samples(triples, "subj", "pred", "obj", pool_df, k=3)
+    rows = out.collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r["neg_obj"] != r["obj"]
+        assert r["neg_obj"] in {"a", "b", "c"}
+    again = negative_samples(
+        triples, "subj", "pred", "obj", pool_df, k=3
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
