@@ -203,3 +203,47 @@ def test_negative_samples_semantics(spark):
         triples, "subj", "pred", "obj", pool_df, k=3
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_corpus_prep_end_to_end(spark):
+    """The composed hygiene plan: URL-duplicate pages collapse to one,
+    near-dup pairs lose their larger id, short docs drop, survivors
+    chunk, and the whole flow is deterministic across runs."""
+    from neo4j_export_tool_spark.plans.corpus_prep import prepare_corpus
+
+    body_a = " ".join(f"atok{i}" for i in range(40))
+    body_bc = " ".join(f"btok{i}" for i in range(40))
+    rows = [
+        ("http://a.com/x?utm_source=1", body_a + " alpha"),
+        ("http://A.com/x/", body_a + " alpha"),        # same canonical URL
+        ("http://b.com/y", body_bc + " beta"),         # near-dup of c.com/z
+        ("http://c.com/z", body_bc + " gamma"),        # near-dup of b.com/y
+        ("http://d.com/short", "too short"),           # quality-filtered
+        ("http://e.com/u", " ".join(f"w{i}" for i in range(50))),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    res = prepare_corpus(
+        pages, min_tokens=8, neardup_threshold_pct=80,
+        max_bucket_frac=None, span_n=10, chunk_tokens=16, overlap=4,
+    )
+    m = res.metrics
+    assert m["input"] == 6
+    assert m["after_url_dedup"] == 5          # a.com duplicate collapsed
+    assert m["after_neardup"] == 4            # larger of the b/c pair dropped
+    assert m["after_quality"] == 3            # short doc out
+    urls = {r["doc"] for r in res.chunks.select("doc").distinct().collect()}
+    assert urls == {
+        "http://A.com/x/" if "http://A.com/x/" < "http://a.com/x?utm_source=1"
+        else "http://a.com/x?utm_source=1",
+        "http://b.com/y",
+        "http://e.com/u",
+    }
+    assert m["chunks"] > 3  # 41-50-token docs at 16/4 chunking → several each
+    # deterministic: run twice, same chunk ids
+    res2 = prepare_corpus(
+        pages, min_tokens=8, neardup_threshold_pct=80,
+        max_bucket_frac=None, span_n=10, chunk_tokens=16, overlap=4,
+    )
+    ids1 = sorted(r["chunk_sha256"] for r in res.chunks.collect())
+    ids2 = sorted(r["chunk_sha256"] for r in res2.chunks.collect())
+    assert ids1 == ids2
