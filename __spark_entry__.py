@@ -237,6 +237,21 @@ def _q14_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q55_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard (round-5,
+    `operators/dedup.py::jaccard_pairs_prefix`): candidates only from
+    each set's rare-first prefix (positional prefix principle — any
+    pair at the threshold must collide inside the prefixes), exact
+    array_intersect verify.  Output provably equals the unpruned exact
+    join, so it shares q14's oracle."""
+    from neo4j_export_tool_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(
+        docs, "text", "doc_id", threshold_pct=60, shingle_n=3
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (md5-derived bit votes, engine-portable)."""
     from neo4j_export_tool_spark.operators.dedup import simhash_fingerprints
@@ -1414,6 +1429,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q52_pagerank_int": _q52_pagerank,
         "q53_degree_stats": _q53_degree_stats,
         "q54_negative_samples": _q54_negative_samples,
+        "q55_jaccard_prefix": _q55_jaccard_prefix,
     }
 
 
@@ -1631,6 +1647,8 @@ def oracle_sql() -> dict[str, str]:
         "q13_dedup_jaccard": _shingle_jaccard_sql(max_shingle_df=20),
         # verified LSH output equals the exact unpruned join at the threshold
         "q14_dedup_minhash_lsh": _SHINGLE_JACCARD_SQL,
+        # q55: prefix-filtered exact jaccard == the unpruned exact join
+        "q55_jaccard_prefix": _SHINGLE_JACCARD_SQL,
         "q15_simhash": _SIMHASH_SQL,
         # cosine built from list_dot_product with the engine's exact formula
         # (dot / sqrt(nsq_a * nsq_b)); list_cosine_similarity differs in the

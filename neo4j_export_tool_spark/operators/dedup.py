@@ -672,3 +672,91 @@ def duplicated_ngram_spans(
         hot = hot.filter(F.col("n_docs") <= max_gram_df)
     out = grams.join(hot.select("gram"), "gram", "left_semi")
     return out.select("doc", "pos", "gram")
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_pct: int = 60,
+    shingle_n: int = 3,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """EXACT Jaccard pairs via PPJoin-style prefix filtering — the
+    100 TB exact path that needs NO recall-trading cap.
+
+    Positional prefix principle (Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin, see PAPERS.md set-similarity-join survey): order every
+    shingle set by one GLOBAL total order and keep only each set's
+    first ``|A| - ceil(t·|A|) + 1`` shingles; any pair with Jaccard ≥ t
+    must collide inside those prefixes, so generating candidates from
+    prefix postings alone loses nothing.  We order by (document
+    frequency asc, shingle asc) — rare-first, the order that makes hot
+    boilerplate shingles land in the prefix of almost no document — and
+    verify candidates exactly with ``array_intersect`` over the full
+    sets (the q14 verify kernel), so the output EQUALS the unpruned
+    ``jaccard_pairs`` bit-for-bit (pytest-pinned; gate q55 runs the
+    same unpruned DuckDB oracle as q14).
+
+    vs the ``max_shingle_df`` cap: the cap is subset/prune (boilerplate-
+    only pairs are dropped BY DESIGN); the prefix filter is exact.  It
+    pays two more linear shuffles (df join + per-doc rank window); at
+    web scale the candidate cut (prefix is ~(1-t/(1+t)) of each set,
+    hot shingles excluded from almost all prefixes) dwarfs that cost.
+    Prefix length uses exact integer ceil: ``n - (t·n + 99) div 100 + 1``.
+    """
+    from pyspark.sql import Window
+
+    sets = _materialize(
+        _shingle_sets(df, text_col, id_col, shingle_n), use_local_checkpoint
+    )
+    sizes = sets.select("doc", F.size("shingles").alias("n"))
+    posting = sets.select("doc", F.explode("shingles").alias("shingle"))
+    dfc = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        posting.join(dfc, "shingle")
+        .join(sizes, "doc")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("df", "shingle")
+            ),
+        )
+        .filter(
+            F.col("rk")
+            <= F.col("n")
+            - F.expr(f"(({threshold_pct} * n) + 99) div 100")
+            + F.lit(1)
+        )
+        .select("doc", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh = sets.select("doc", "shingles")
+    verified = (
+        candidates.join(
+            sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
+        )
+        .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("shared"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(
+            100 * F.col("shared")
+            >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+    )
+    return verified

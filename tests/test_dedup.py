@@ -234,3 +234,36 @@ def test_fractional_caps_match_absolute_at_same_n(spark, pages):
     with pytest.raises(ValueError):
         minhash_lsh_pairs(pages, "text", "url", max_bucket_size=5,
                           max_bucket_frac=0.1).collect()
+
+
+def test_prefix_jaccard_equals_unpruned_exact(spark, pages):
+    """PPJoin prefix filtering is EXACT: output equals the unpruned
+    posting-self-join jaccard bit-for-bit, including on the boilerplate
+    corpus where the df cap (by design) drops pairs."""
+    from neo4j_export_tool_spark.operators.dedup import jaccard_pairs_prefix
+
+    unpruned = sorted(
+        map(tuple, jaccard_pairs(pages, "text", "url", threshold_pct=60).collect())
+    )
+    prefix = sorted(
+        map(tuple,
+            jaccard_pairs_prefix(pages, "text", "url", threshold_pct=60).collect())
+    )
+    assert prefix == unpruned and prefix
+
+    boiler = "click here to subscribe to our newsletter today and save"
+    uniq = [f"topic{i} " + boiler for i in range(30)]
+    body = " ".join(f"w{j}" for j in range(40))
+    rows = [(i, t) for i, t in enumerate(uniq)]
+    rows += [(100, body + " ending one"), (101, body + " ending two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    up = sorted(map(tuple, jaccard_pairs(docs, "text", "doc_id").collect()))
+    pf = sorted(map(tuple, jaccard_pairs_prefix(docs, "text", "doc_id").collect()))
+    # prefix filtering keeps the boilerplate-only pairs the df cap drops —
+    # it is exact, not a prune
+    assert pf == up
+    assert any(a < 100 and b < 100 for a, b, *_ in pf)
+    # stricter threshold still exact
+    up9 = sorted(map(tuple, jaccard_pairs(docs, "text", "doc_id", threshold_pct=90).collect()))
+    pf9 = sorted(map(tuple, jaccard_pairs_prefix(docs, "text", "doc_id", threshold_pct=90).collect()))
+    assert pf9 == up9
