@@ -1243,9 +1243,6 @@ def _q54_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subj", "obj", "neg_idx")
 
 
-_Q51_URL_CASES_SPARK = None  # built lazily in _q51
-
-
 def _q51_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (round-5, `functions/url.py`): deterministic
     per-doc URL variants (case/port/www/fragment/tracking-param/query-
@@ -2048,10 +2045,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_split(text, ' ') AS t,
                      len(string_split(text, ' ')) AS n
               FROM documents
+              WHERE text IS NOT NULL AND text != ''
             ), meta AS (
               SELECT doc_id, t, n,
                      1 + greatest(0, (n - 32 + 23) // 24) AS n_chunks
-              FROM toks WHERE n > 0
+              FROM toks
             ), c AS (
               SELECT doc_id, k AS chunk_idx, (k * 24)::INT AS tok_start,
                      least(32, n - k * 24)::INT AS n_tokens,

@@ -330,12 +330,17 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             "text",
         )
         n_docs_cp = docs_cp.count()
-        t0 = time.perf_counter()
-        cp_res = prepare_corpus(
-            docs_cp, min_tokens=5, neardup_threshold_pct=90,
-            max_bucket_frac=0.05, chunk_tokens=32, overlap=8,
-        )
-        cp_sec = time.perf_counter() - t0
+        # best-of-2 like every other lane (a single cold run conflates
+        # scheduling noise with regressions); the timing includes the
+        # plan's own metric counts — they are part of its contract
+        cp_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cp_res = prepare_corpus(
+                docs_cp, min_tokens=5, neardup_threshold_pct=90,
+                max_bucket_frac=0.05, chunk_tokens=32, overlap=8,
+            )
+            cp_sec = min(cp_sec, time.perf_counter() - t0)
         timings["corpus_prep_full"] = round(cp_sec, 3)
         corpus_prep_docs_per_sec = round(n_docs_cp / cp_sec, 1)
         corpus_prep_chunks = cp_res.metrics["chunks"]

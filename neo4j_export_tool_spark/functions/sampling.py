@@ -84,7 +84,14 @@ def negative_samples(
     idx = shingle_hash_col(key) % n
     cand = F.element_at(F.col("pool"), (idx + 1).cast("int"))
     bumped = F.element_at(F.col("pool"), (((idx + 1) % n) + 1).cast("int"))
+    # |pool| < 2 cannot yield a negative != the true object — fail loud
+    # (runtime raise_error: the pool size only exists in-plan)
+    neg = F.when(
+        n < 2,
+        F.raise_error(
+            F.lit("negative_samples needs a candidate pool of >= 2 objects")
+        ).cast("string"),
+    ).otherwise(F.when(cand == F.col("obj"), bumped).otherwise(cand))
     return exploded.select(
-        "subj", "pred", "obj", "neg_idx",
-        F.when(cand == F.col("obj"), bumped).otherwise(cand).alias("neg_obj"),
+        "subj", "pred", "obj", "neg_idx", neg.alias("neg_obj")
     )

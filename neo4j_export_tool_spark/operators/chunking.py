@@ -42,10 +42,14 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = df.select(
+    # filter the STRING, not the token array: split('', ' ') is [''] (size
+    # 1), which would emit a phantom empty chunk for empty documents
+    toks = df.filter(
+        F.col(text_col).isNotNull() & (F.col(text_col) != "")
+    ).select(
         F.col(id_col).alias("doc"),
         F.split(F.col(text_col), " ").alias("t"),
-    ).filter(F.size("t") > 0)
+    )
     n = F.size("t")
     # ceil((n - chunk)/stride) via floor((n - chunk + stride-1)/stride);
     # token counts are far below 2^53 so the double division is exact

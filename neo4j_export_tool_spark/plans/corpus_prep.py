@@ -35,6 +35,7 @@ from neo4j_export_tool_spark.operators.dedup import (
 @dataclass
 class CorpusPrepResult:
     chunks: DataFrame
+    dup_spans: DataFrame | None  # (doc, pos, gram) — None when span_n is None
     metrics: dict = field(default_factory=dict)
 
 
@@ -45,7 +46,7 @@ def prepare_corpus(
     min_tokens: int = 8,
     neardup_threshold_pct: int = 80,
     max_bucket_frac: float | None = 0.01,
-    span_n: int = 20,
+    span_n: int | None = 20,
     keep_rate_pct: int = 100,
     chunk_tokens: int = 256,
     overlap: int = 32,
@@ -64,13 +65,26 @@ def prepare_corpus(
 
     # 1) canonical-URL exact dedup: canonicalize, keep the lexically
     #    smallest url per canonical key (deterministic keeper)
+    from pyspark.sql import Window
+
     canon = pages.withColumn("canonical_url", canonical_url_col(F.col(url_col)))
     w_url = F.coalesce(F.col("canonical_url"), F.col(url_col))
-    # keeper table is corpus-sized — NO broadcast hint, AQE picks the join
-    keeper = canon.groupBy(w_url.alias("canon_key")).agg(
-        F.min(url_col).alias(url_col)
+    # exactly ONE row per canonical key — a deterministic row_number
+    # keeper (min url, then min text as tie-break), not a semi-join on
+    # url (which would keep every row of a repeated raw URL) and not
+    # dropDuplicates (which keeps an arbitrary row).  The window
+    # partitions by the corpus-sized key — a shuffle, like any exact
+    # dedup; no broadcast anywhere.
+    deduped = (
+        canon.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(w_url).orderBy(url_col, text_col)
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    deduped = canon.join(keeper.select(url_col), url_col, "left_semi")
     # each stage is materialized once (lazy localCheckpoint): the metrics
     # counts and every downstream stage reuse one computation instead of
     # re-running the whole upstream DAG per action (measured 3× the cost
@@ -99,9 +113,14 @@ def prepare_corpus(
     )
     m["after_quality"] = filtered.count()
 
-    # 4) duplicated-span report (the spans a cut pass would remove);
-    #    kept as a side table — cutting is corpus policy, not mechanics
-    spans = duplicated_ngram_spans(filtered, text_col, url_col, n=span_n)
+    # 4) duplicated-span report (the spans a cut pass would remove) —
+    #    RETURNED as a side table (cutting is corpus policy, not
+    #    mechanics); pass span_n=None to skip the cost entirely
+    spans = (
+        duplicated_ngram_spans(filtered, text_col, url_col, n=span_n)
+        if span_n is not None
+        else None
+    )
 
     # 5) chunk
     chunks = chunk_documents(
@@ -116,5 +135,6 @@ def prepare_corpus(
         else hash_sample(chunks, "chunk_sha256", keep_rate_pct, salt="corpus")
     )
     m["chunks"] = sampled.count()
-    m["dup_span_positions"] = spans.count()
-    return CorpusPrepResult(chunks=sampled, metrics=m)
+    if spans is not None:
+        m["dup_span_positions"] = spans.count()
+    return CorpusPrepResult(chunks=sampled, dup_spans=spans, metrics=m)

@@ -177,9 +177,17 @@ def _materialize_zst_section(spark: SparkSession, section_dir: str) -> str:
         list(pool.map(_one, parts))
     for p in plain_parts:
         dst = os.path.join(scratch, os.path.basename(p))
+        if os.path.exists(dst):
+            # a plain part whose name equals a .zst part's decompressed
+            # name — ambiguous external input; clobbering would silently
+            # drop one side's rows (the bug class this path exists to fix)
+            raise ValueError(
+                "section mixes a plain part and a .zst part that "
+                f"decompress to the same name: {os.path.basename(p)}"
+            )
         try:
             os.symlink(os.path.abspath(p), dst)
-        except OSError:
+        except OSError:  # e.g. filesystem without symlink support
             import shutil as _shutil
 
             _shutil.copy2(p, dst)

@@ -75,9 +75,9 @@ def test_chunking_layout_and_ids(spark):
     # short doc: one whole-text chunk
     assert rows_out[(2, 0)]["chunk_text"] == "a b c"
     assert rows_out[(2, 0)]["n_tokens"] == 3
-    # empty text (split -> ['']): size 1, one chunk of the empty token;
-    # semantics: filter happens on token count > 0, '' splits to ['']
-    # so doc 3 yields one 1-token chunk of ""
+    # empty text yields NO rows (the string filter runs before split,
+    # because split('', ' ') is [''] — a phantom 1-token chunk otherwise)
+    assert all(d != 3 for d, _ in rows_out)
     assert len(rows_out[(1, 0)]["chunk_sha256"]) == 64
     # reconstruction: concatenating strides covers the doc exactly
     rebuilt = c0[:24] + c1[:24] + rows_out[(1, 2)]["chunk_text"].split(" ")

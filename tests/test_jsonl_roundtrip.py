@@ -271,3 +271,28 @@ def test_mixed_plain_and_zst_section_fallback(spark, sf_dir, tmp_path, monkeypat
     imp = read_jsonl_export(spark, res.path)
     assert imp.nodes.count() == res.node_count + extra_rows
     assert imp.edges.count() == res.rel_count
+
+
+def test_mixed_section_name_collision_raises(spark, sf_dir, tmp_path, monkeypatch):
+    """A plain part whose name equals a .zst part's decompressed name is
+    ambiguous — the codec-less import must refuse, not clobber."""
+    import glob
+    import os
+
+    from neo4j_export_tool_spark.sources.zstd_codec import decompress_file_jvm
+
+    monkeypatch.setattr(
+        "neo4j_export_tool_spark.sources.zstd_codec.codec_loadable",
+        lambda _s: False,
+    )
+    nodes, hashed = documents_kg(spark, sf_dir)
+    dir_out = str(tmp_path / "clash")
+    res = export_jsonl(
+        nodes, with_properties_json(hashed), dir_out, db_name="cl",
+        compression="zstd", single_file=False, sort_lines=False,
+    )
+    part = sorted(glob.glob(os.path.join(dir_out, "nodes", "part-*.zst")))[0]
+    # plain sibling named exactly like the decompressed .zst part
+    decompress_file_jvm(spark, part, part[: -len(".zst")])
+    with pytest.raises(Exception, match="same name"):
+        read_jsonl_export(spark, res.path)

@@ -115,9 +115,12 @@ def run_sweep(master: str | None, sf_dir: str) -> dict:
                     "schema_match"
                 ] and _normalize(s_rows, s_cols) == _normalize(d_rows, d_cols)
             else:
-                rec["rows_match"] = True  # rows-only check, like the driver
+                # no oracle → nothing was VERIFIED; record that honestly
+                # (None, not True) and count it as rows-only below
+                rec["rows_match"] = None
                 rec["schema_match"] = None
                 rec["hash_match"] = None
+                rec["rows_only"] = True
         except Exception as exc:  # record, keep sweeping
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
             rec.setdefault("rows_match", False)
@@ -136,9 +139,12 @@ def run_sweep(master: str | None, sf_dir: str) -> dict:
             1
             for g in gates.values()
             if g["err"] is None
-            and g["rows_match"]
-            and g["schema_match"] in (True, None)
-            and g["hash_match"] in (True, None)
+            and g["rows_match"] is True
+            and g["schema_match"] is True
+            and g["hash_match"] is True
+        ),
+        "n_rows_only": sum(
+            1 for g in gates.values() if g.get("rows_only") and g["err"] is None
         ),
         "gates": gates,
     }
