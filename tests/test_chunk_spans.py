@@ -220,6 +220,7 @@ def test_corpus_prep_end_to_end(spark):
         ("http://c.com/z", body_bc + " gamma"),        # near-dup of b.com/y
         ("http://d.com/short", "too short"),           # quality-filtered
         ("http://e.com/u", " ".join(f"w{i}" for i in range(50))),
+        ("http://e.com/u", " ".join(f"w{i}" for i in range(50))),  # raw dup
     ]
     pages = spark.createDataFrame(rows, "url string, text string")
     res = prepare_corpus(
@@ -227,8 +228,10 @@ def test_corpus_prep_end_to_end(spark):
         max_bucket_frac=None, span_n=10, chunk_tokens=16, overlap=4,
     )
     m = res.metrics
-    assert m["input"] == 6
-    assert m["after_url_dedup"] == 5          # a.com duplicate collapsed
+    assert m["input"] == 7
+    # a.com canonical duplicate collapsed AND the repeated raw e.com row
+    # collapsed (one row per canonical key, not a semi-join on url)
+    assert m["after_url_dedup"] == 5
     assert m["after_neardup"] == 4            # larger of the b/c pair dropped
     assert m["after_quality"] == 3            # short doc out
     urls = {r["doc"] for r in res.chunks.select("doc").distinct().collect()}
