@@ -644,19 +644,31 @@ _MASTER_WEBUI_PORT = 8090  # set by ensure_standalone_cluster when reusing
 
 
 def _master_json(timeout: float = 5.0) -> tuple[dict | None, int | None]:
-    """Fetch the standalone master's JSON status, probing the port we
-    start masters on (8090) then the stock default (8080).  Returns
-    (payload, port) or (None, None) when neither answers."""
+    """Fetch the standalone master's JSON status, probing
+    SPARK_MASTER_WEBUI_PORT (when set) first, then the port we start
+    masters on (8090), then the stock default (8080).  A payload only
+    counts as the master when it has the master JSON shape (a "workers"
+    list) — any other JSON-speaking service on 8080 is ignored.  Returns
+    (payload, port) or (None, None) when no port answers as a master."""
     import urllib.request
 
-    for port in (8090, 8080):
+    ports: list[int] = []
+    env_port = os.environ.get("SPARK_MASTER_WEBUI_PORT")
+    if env_port and env_port.isdigit():
+        ports.append(int(env_port))
+    ports += [p for p in (8090, 8080) if p not in ports]
+    for port in ports:
         try:
             with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/json/", timeout=timeout
             ) as r:
-                return json.load(r), port
+                payload = json.load(r)
         except Exception:
             continue
+        if isinstance(payload, dict) and isinstance(
+            payload.get("workers"), list
+        ):
+            return payload, port
     return None, None
 
 
@@ -687,9 +699,10 @@ def ensure_standalone_cluster(worker_cores: int = 32,
         payload, port = _master_json()
         if payload is None:
             raise RuntimeError(
-                "a standalone master is running but its JSON endpoint "
-                "answered on neither 8090 nor 8080 — stop it (sbin/"
-                "stop-master.sh) or expose its webui before benching"
+                "a standalone master is running but no probed webui port "
+                "(SPARK_MASTER_WEBUI_PORT, 8090, 8080) answered with a "
+                "master-shaped JSON payload — stop it (sbin/stop-master."
+                "sh), or set SPARK_MASTER_WEBUI_PORT to its webui port"
             )
         _MASTER_WEBUI_PORT = port
         alive_cores = sum(

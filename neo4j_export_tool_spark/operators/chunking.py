@@ -51,12 +51,13 @@ def chunk_documents(
         F.split(F.col(text_col), " ").alias("t"),
     )
     n = F.size("t")
-    # ceil((n - chunk)/stride) via floor((n - chunk + stride-1)/stride);
-    # token counts are far below 2^53 so the double division is exact
+    # ceil((n - chunk)/stride) via (n - chunk + stride-1) div stride —
+    # SQL integer division, so the layout is categorically integer-exact
+    # (no double quotient anywhere, matching the q50 oracle's //)
     extra = F.greatest(
         F.lit(0),
-        F.floor(
-            (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+        F.expr(
+            f"(size(t) - {chunk_tokens} + {stride - 1}) div {stride}"
         ).cast("int"),
     )
     out = toks.select(

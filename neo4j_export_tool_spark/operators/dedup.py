@@ -92,8 +92,9 @@ def jaccard_pairs(
     ``shared`` counts (sizes stay exact), so surviving pairs are a subset.
 
     ``max_shingle_df_frac`` is the SCALE-SAFE form: the cap as a fraction
-    of the corpus document count (resolved as ``max(2, floor(frac·N))``
-    via one count over the already-materialized shingle-set table).  An
+    of the corpus document count (resolved as ``max(2, floor(frac·N))``,
+    N = one count over the INPUT ``df`` — including docs too short to
+    yield a shingle, as "fraction of the corpus" promises).  An
     absolute cap of 20 is always wrong at 10^12 docs — "appears in >0.1%
     of documents" is the boilerplate definition that survives a 100×
     scale-up.  Mutually exclusive with ``max_shingle_df``.
@@ -108,11 +109,13 @@ def jaccard_pairs(
             "pass max_shingle_df (absolute) or max_shingle_df_frac "
             "(fraction of corpus), not both"
         )
+    if max_shingle_df_frac is not None:
+        # N = input corpus count (docstring contract), not the set-table
+        # count, which silently excludes docs shorter than shingle_n
+        max_shingle_df = max(2, int(max_shingle_df_frac * df.count()))
     sets = _materialize(
         _shingle_sets(df, text_col, id_col, shingle_n), use_local_checkpoint
     )
-    if max_shingle_df_frac is not None:
-        max_shingle_df = max(2, int(max_shingle_df_frac * sets.count()))
     sizes = sets.select("doc", F.size("shingles").alias("n"))
     posting = sets.select("doc", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
@@ -195,6 +198,17 @@ def minhash_lsh_pairs(
     output equals `jaccard_pairs` at the same threshold while candidate
     generation stays near-linear.
     """
+    if max_bucket_frac is not None:
+        # resolve the fraction against the INPUT corpus count here, where
+        # df is in scope — the set table excludes docs shorter than
+        # shingle_n, so its count under-states N on short-doc corpora
+        if max_bucket_size is not None:
+            raise ValueError(
+                "pass max_bucket_size (absolute) or max_bucket_frac "
+                "(fraction of corpus), not both"
+            )
+        max_bucket_size = max(2, int(max_bucket_frac * df.count()))
+        max_bucket_frac = None
     sets = _shingle_sets(df, text_col, id_col, shingle_n)
     return minhash_lsh_pairs_from_sets(
         sets, threshold_pct=threshold_pct, k=k, bands=bands, seed=seed,
@@ -243,8 +257,11 @@ def minhash_lsh_pairs_from_sets(
     lands hot — small unless the corpus is pathologically self-similar.
 
     ``max_bucket_frac`` is the SCALE-SAFE form: the cap as a fraction of
-    the corpus document count (``max(2, floor(frac·N))``, N from one
-    count over the already-materialized set table) — an absolute bucket
+    the corpus document count (``max(2, floor(frac·N))``; callers that
+    enter through `minhash_lsh_pairs` resolve N from the input corpus
+    count, while this generic sets-table entry — which never sees the
+    input df — resolves N from the set-table row count, i.e. docs with a
+    non-empty shingle set) — an absolute bucket
     cap is always wrong at 10^12 docs, a "no bucket may hold >0.1% of
     the corpus" rule is not.  Mutually exclusive with
     ``max_bucket_size``."""

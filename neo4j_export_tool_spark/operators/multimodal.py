@@ -216,10 +216,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     idat = bytearray()
     while pos + 8 <= end:
         (length,) = struct.unpack_from(">I", payload, pos)
+        # bounds-check data AND trailing CRC before any unpack_from so a
+        # payload truncated inside a chunk raises the documented
+        # ValueError, not struct.error
+        if pos + 12 + length > end:
+            raise ValueError("truncated PNG chunk")
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
-            raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")

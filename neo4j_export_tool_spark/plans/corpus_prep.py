@@ -70,16 +70,19 @@ def prepare_corpus(
     canon = pages.withColumn("canonical_url", canonical_url_col(F.col(url_col)))
     w_url = F.coalesce(F.col("canonical_url"), F.col(url_col))
     # exactly ONE row per canonical key — a deterministic row_number
-    # keeper (min url, then min text as tie-break), not a semi-join on
-    # url (which would keep every row of a repeated raw URL) and not
-    # dropDuplicates (which keeps an arbitrary row).  The window
-    # partitions by the corpus-sized key — a shuffle, like any exact
-    # dedup; no broadcast anywhere.
+    # keeper (min url, then min sha256(text) as tie-break: the digest is
+    # 64 bytes in the shuffle sort key where the raw document text could
+    # be megabytes), not a semi-join on url (which would keep every row
+    # of a repeated raw URL) and not dropDuplicates (which keeps an
+    # arbitrary row).  The window partitions by the corpus-sized key — a
+    # shuffle, like any exact dedup; no broadcast anywhere.
     deduped = (
         canon.withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy(w_url).orderBy(url_col, text_col)
+                Window.partitionBy(w_url).orderBy(
+                    F.col(url_col), F.sha2(F.col(text_col), 256)
+                )
             ),
         )
         .filter(F.col("_rn") == 1)
