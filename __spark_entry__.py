@@ -170,21 +170,22 @@ def _q08_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q09_global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global count source (SURVEY §2.1 S4 / §2.4 A1)."""
-    docs = _t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_documents"))
-    ev = _t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n_events"))
-    li = _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_lineitems"))
-    return docs.crossJoin(ev).crossJoin(li)
-
-
-def _q10_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct label collection (SURVEY §2.4 A3 / §2.5 D2): sorted '+'-joined
-    label set, the hash-input composition."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.agg(
+def _q09_counts_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count source (SURVEY §2.1 S4 / §2.4 A1) + distinct label
+    collection (SURVEY §2.4 A3 / §2.5 D2, the sorted '+'-joined label set
+    that feeds the hash composition) — one single-row gate pinning both
+    aggregation operators (round-6 board consolidation: the driver's
+    correctness file caps at 50 entries, so single-row lanes over the
+    same tables share one key)."""
+    docs = _t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_documents"),
         F.array_join(F.array_sort(F.collect_set("lang")), "+").alias("labels_joined"),
         F.countDistinct("lang").alias("label_count"),
+    )
+    ev = _t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n_events"))
+    li = _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_lineitems"))
+    return docs.crossJoin(ev).crossJoin(li).select(
+        "n_documents", "n_events", "n_lineitems", "labels_joined", "label_count"
     )
 
 
@@ -204,13 +205,19 @@ def _q11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q12_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (training-pipeline op): whitespace tokens + distinct."""
+    """Token counting (training-pipeline op): whitespace tokens, distinct
+    tokens, and the BPE-ish pre-tokenizer regex count (round-6 board
+    consolidation: absorbs the former q21 lane — same table, same per-doc
+    shape, both token operators stay gate-pinned)."""
+    from neo4j_export_tool_spark.functions.text import token_count_bpe, token_count_ws
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        token_count_ws(F.col("text")).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 
@@ -304,46 +311,27 @@ def _q18_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).orderBy("media_id")
 
 
-def _q19_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID: stopword-hit argmax with deterministic tie-break."""
-    from neo4j_export_tool_spark.functions.text import lang_id_col
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
-    ).orderBy("doc_id")
-
-
-def _q20_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: integer-exact token/char/stopword/TTR metrics."""
-    from neo4j_export_tool_spark.functions.text import quality_metrics
+def _q19_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: language ID (stopword-hit argmax with
+    deterministic tie-break), integer-exact quality metrics
+    (token/char/stopword/TTR), and the rolling polynomial fingerprint —
+    one per-doc lane pinning all three text operators (round-6 board
+    consolidation: absorbs the former q20/q22 lanes; every column is a
+    pure JVM expression over the same documents scan, so one gate checks
+    the same three operators the three old gates did)."""
+    from neo4j_export_tool_spark.functions.text import (
+        fingerprint_col,
+        lang_id_col,
+        quality_metrics,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     qm = quality_metrics(F.col("text"))
-    return docs.select("doc_id", *[c.alias(k) for k, c in qm.items()]).orderBy(
-        "doc_id"
-    )
-
-
-def _q21_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex token counting."""
-    from neo4j_export_tool_spark.functions.text import token_count_bpe, token_count_ws
-
-    docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        token_count_ws(F.col("text")).alias("n_ws_tokens"),
-        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
-
-
-def _q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: rolling polynomial hash over tokens."""
-    from neo4j_export_tool_spark.functions.text import fingerprint_col
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        *[c.alias(k) for k, c in qm.items()],
+        fingerprint_col(F.col("text")).alias("fingerprint"),
     ).orderBy("doc_id")
 
 
@@ -1156,8 +1144,11 @@ def _q52_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     85/100, base 10^12 total mass.  Every transfer is an integer `div`
     and every inbound sum an associative int64 sum, so the ranks are
     independent of partitioning and shuffle order — the DuckDB oracle
-    replays the identical recurrence and must match bit-for-bit."""
-    from neo4j_export_tool_spark.operators.pagerank import pagerank_int
+    replays the identical recurrence and must match bit-for-bit.
+    Round-6 board consolidation: the per-node out/in degree profile
+    (`degree_stats`, the former q53 lane) joins onto the same node set,
+    so one gate pins both graph operators."""
+    from neo4j_export_tool_spark.operators.pagerank import degree_stats, pagerank_int
     from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
 
     m = doc_mentions(load_documents(spark, sf_dir))
@@ -1165,7 +1156,13 @@ def _q52_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("doc:"), F.col("doc_id")).alias("src"),
         F.concat(F.lit("concept:"), F.col("concept")).alias("dst"),
     )
-    return pagerank_int(edges, "src", "dst", n_iters=5).orderBy("node")
+    ranks = pagerank_int(edges, "src", "dst", n_iters=5)
+    degrees = degree_stats(edges, "src", "dst")
+    # same node universe on both sides (src ∪ dst), so the equi-join is
+    # 1:1; AQE picks the strategy
+    return ranks.join(degrees, "node").select(
+        "node", "rank_int", "out_degree", "in_degree"
+    ).orderBy("node")
 
 
 def _q52_oracle(n_iters: int = 5, damping_pct: int = 85,
@@ -1201,24 +1198,19 @@ def _q52_oracle(n_iters: int = 5, damping_pct: int = 85,
           SELECT node, (SELECT {base} // n FROM params) AS rank_int
           FROM nodes
         ),
-        {",".join(rounds)}
-        SELECT node, CAST(rank_int AS BIGINT) AS rank_int
-        FROM r{n_iters} ORDER BY node
+        {",".join(rounds)},
+        outd AS (SELECT src AS node, count(*) AS out_degree
+                 FROM edges GROUP BY src),
+        ind AS (SELECT dst AS node, count(*) AS in_degree
+                FROM edges GROUP BY dst)
+        SELECT r.node, CAST(r.rank_int AS BIGINT) AS rank_int,
+               coalesce(outd.out_degree, 0) AS out_degree,
+               coalesce(ind.in_degree, 0) AS in_degree
+        FROM r{n_iters} r
+        LEFT JOIN outd ON r.node = outd.node
+        LEFT JOIN ind ON r.node = ind.node
+        ORDER BY r.node
     """
-
-
-def _q53_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree profile of the mention graph (round-5): per-node out/in
-    degree via two keyed counts + one full-outer join."""
-    from neo4j_export_tool_spark.operators.pagerank import degree_stats
-    from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
-
-    m = doc_mentions(load_documents(spark, sf_dir))
-    edges = m.select(
-        F.concat(F.lit("doc:"), F.col("doc_id")).alias("src"),
-        F.concat(F.lit("concept:"), F.col("concept")).alias("dst"),
-    )
-    return degree_stats(edges, "src", "dst").orderBy("node")
 
 
 def _q54_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1380,8 +1372,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q06_node_content_hash": _q06_node_content_hash,
         "q07_rel_identity_hash": _q07_rel_identity_hash,
         "q08_kg_mentions": _q08_kg_mentions,
-        "q09_global_counts": _q09_global_counts,
-        "q10_distinct_labels": _q10_distinct_labels,
+        "q09_counts_labels": _q09_counts_labels,
         "q11_dedup_exact": _q11_dedup_exact,
         "q12_token_stats": _q12_token_stats,
         "q13_dedup_jaccard": _q13_dedup_jaccard,
@@ -1390,10 +1381,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q16_embedding_neardup": _q16_embedding_neardup,
         "q17_ann_topk": _q17_ann_topk,
         "q18_media_features": _q18_media_features,
-        "q19_lang_id": _q19_lang_id,
-        "q20_quality": _q20_quality,
-        "q21_token_bpe": _q21_token_bpe,
-        "q22_fingerprint": _q22_fingerprint,
+        "q19_text_profile": _q19_text_profile,
         "q23_events_window": _q23_events_window,
         "q24_sessionize": _q24_sessionize,
         "q25_connected_components": _q25_connected_components,
@@ -1423,8 +1411,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q49_dup_ngram_spans": _q49_dup_ngram_spans,
         "q50_chunking": _q50_chunking,
         "q51_url_canonical": _q51_url_canonical,
-        "q52_pagerank_int": _q52_pagerank,
-        "q53_degree_stats": _q53_degree_stats,
+        "q52_pagerank_degrees": _q52_pagerank,
         "q54_negative_samples": _q54_negative_samples,
         "q55_jaccard_prefix": _q55_jaccard_prefix,
     }
@@ -1534,19 +1521,54 @@ _LANG_SCORES = ",\n       ".join(
     f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({words}))) AS s_{lang}"
     for lang, words in _LANG_LISTS.items()
 )
-_LANG_SQL = f"""
+# q19 text profile: lang-ID argmax + integer quality metrics + rolling
+# polynomial fingerprint, one row per doc (the merged q19/q20/q22 lane)
+_TEXT_PROFILE_SQL = f"""
 WITH scored AS (
   SELECT doc_id,
        {_LANG_SCORES}
   FROM documents
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM scored
+),
+qm AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         len(list_filter(string_split(text, ' '),
+             t -> lower(t) IN ('the','a','of','and','is','was','for','in'))) AS n_stop
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split(text, ' '),
+               t -> (CASE WHEN t = '' THEN 0 ELSE ord(t) END + length(t))::BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007
+         ) AS fingerprint
+  FROM documents
 )
-SELECT doc_id,
-       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-            ELSE 'fr' END AS lang_pred
-FROM scored ORDER BY doc_id
+SELECT lang.doc_id, lang.lang_pred,
+       qm.n_tokens, qm.n_distinct_tokens, qm.n_chars,
+       CAST(FLOOR(100 * qm.n_distinct_tokens / greatest(qm.n_tokens, 1)) AS BIGINT) AS ttr_pct,
+       CAST(FLOOR(100 * qm.n_stop / greatest(qm.n_tokens, 1)) AS BIGINT) AS stopword_pct,
+       CAST(FLOOR(100 * qm.n_alpha / greatest(qm.n_chars, 1)) AS BIGINT) AS alpha_pct,
+       CAST(FLOOR(100 * (qm.n_chars - (qm.n_tokens - 1)) / greatest(qm.n_tokens, 1)) AS BIGINT) AS mean_token_len_x100,
+       fp.fingerprint
+FROM lang
+JOIN qm ON lang.doc_id = qm.doc_id
+JOIN fp ON lang.doc_id = fp.doc_id
+ORDER BY lang.doc_id
 """
 
 
@@ -1617,15 +1639,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, concept, n_occurrences, first_offset
             FROM mentions ORDER BY doc_id, concept
         """,
-        "q09_global_counts": """
+        "q09_counts_labels": """
             SELECT (SELECT count(*) FROM documents) AS n_documents,
                    (SELECT count(*) FROM events) AS n_events,
-                   (SELECT count(*) FROM lineitem) AS n_lineitems
-        """,
-        "q10_distinct_labels": """
-            SELECT string_agg(DISTINCT lang, '+' ORDER BY lang) AS labels_joined,
-                   count(DISTINCT lang) AS label_count
-            FROM documents
+                   (SELECT count(*) FROM lineitem) AS n_lineitems,
+                   (SELECT string_agg(DISTINCT lang, '+' ORDER BY lang)
+                    FROM documents) AS labels_joined,
+                   (SELECT count(DISTINCT lang) FROM documents) AS label_count
         """,
         "q11_dedup_exact": """
             SELECT sha256(text) AS text_sha256,
@@ -1633,10 +1653,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY 1
         """,
-        "q12_token_stats": """
+        "q12_token_stats": r"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
-                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         # q13 runs with stop-shingle pruning ON (engine max_shingle_df=20);
@@ -1684,41 +1705,7 @@ def oracle_sql() -> dict[str, str]:
                    (octet_length(encode(text)) % 480) + 1 AS fake_height
             FROM documents ORDER BY media_id
         """,
-        "q19_lang_id": _LANG_SQL,
-        "q20_quality": """
-            WITH m AS (
-              SELECT doc_id,
-                     len(string_split(text, ' ')) AS n_tokens,
-                     len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-                     length(text) AS n_chars,
-                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-                     len(list_filter(string_split(text, ' '),
-                         t -> lower(t) IN ('the','a','of','and','is','was','for','in'))) AS n_stop
-              FROM documents
-            )
-            SELECT doc_id, n_tokens, n_distinct_tokens, n_chars,
-                   CAST(FLOOR(100 * n_distinct_tokens / greatest(n_tokens, 1)) AS BIGINT) AS ttr_pct,
-                   CAST(FLOOR(100 * n_stop / greatest(n_tokens, 1)) AS BIGINT) AS stopword_pct,
-                   CAST(FLOOR(100 * n_alpha / greatest(n_chars, 1)) AS BIGINT) AS alpha_pct,
-                   CAST(FLOOR(100 * (n_chars - (n_tokens - 1)) / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_x100
-            FROM m ORDER BY doc_id
-        """,
-        "q21_token_bpe": r"""
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
-            FROM documents ORDER BY doc_id
-        """,
-        "q22_fingerprint": """
-            SELECT doc_id,
-                   list_reduce(
-                     list_prepend(0::BIGINT,
-                       list_transform(string_split(text, ' '),
-                         t -> (CASE WHEN t = '' THEN 0 ELSE ord(t) END + length(t))::BIGINT)),
-                     (a, b) -> (a * 31 + b) % 1000000007
-                   ) AS fingerprint
-            FROM documents ORDER BY doc_id
-        """,
+        "q19_text_profile": _TEXT_PROFILE_SQL,
         "q23_events_window": """
             SELECT event_id, user_id,
                    row_number() OVER w AS rn,
@@ -2065,26 +2052,10 @@ def oracle_sql() -> dict[str, str]:
         # q51: URL canonicalization — oracle builds the same URL variants
         # and runs the DuckDB twin of the same regex chain
         "q51_url_canonical": _q51_oracle(),
-        # q52: integer PageRank — the oracle replays the identical
-        # int64 recurrence (5 chained CTE rounds), bit-exact by design
-        "q52_pagerank_int": _q52_oracle(),
-        # q53: degree profile over the same mention graph
-        "q53_degree_stats": f"""
-            {_MENTIONS_CTE},
-            edges AS (
-              SELECT 'doc:' || doc_id AS src, 'concept:' || concept AS dst
-              FROM mentions
-            ),
-            outd AS (SELECT src AS node, count(*) AS out_degree
-                     FROM edges GROUP BY src),
-            ind AS (SELECT dst AS node, count(*) AS in_degree
-                    FROM edges GROUP BY dst)
-            SELECT node,
-                   coalesce(out_degree, 0) AS out_degree,
-                   coalesce(in_degree, 0) AS in_degree
-            FROM outd FULL JOIN ind USING (node)
-            ORDER BY node
-        """,
+        # q52: integer PageRank + degree profile — the oracle replays the
+        # identical int64 recurrence (5 chained CTE rounds, bit-exact by
+        # design) and joins the out/in degree counts onto the same nodes
+        "q52_pagerank_degrees": _q52_oracle(),
         # q54: corrupted-tail negatives — same md5-prefix pick (q42
         # recipe) over the same sorted pool, replayed verbatim
         "q54_negative_samples": f"""
