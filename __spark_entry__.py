@@ -1216,10 +1216,12 @@ def _q52_oracle(n_iters: int = 5, damping_pct: int = 85,
 def _q54_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG-embedding negative sampling (round-5,
     `functions/sampling.py::negative_samples`): k=2 deterministic
-    corrupted-tail negatives per mention triple, pool = sorted distinct
-    objects kept in-plan (collect_set → broadcast crossJoin).  The
-    60-bit md5-prefix pick is the q42 recipe, so the oracle replays the
-    sampling verbatim."""
+    corrupted-tail negatives per mention triple.  Round 6: the pool is
+    an indexed TABLE equi-joined on ``h % n`` (two int64 joins), not a
+    one-row array — the plan shape that survives a 10⁸–10⁹ entity
+    vocabulary; output is bit-identical (pytest-pinned vs the array
+    form).  The 60-bit md5-prefix pick is the q42 recipe, so the oracle
+    replays the sampling verbatim."""
     from neo4j_export_tool_spark.functions.sampling import negative_samples
     from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
 
@@ -1229,9 +1231,8 @@ def _q54_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("MENTIONS").alias("pred"),
         F.col("concept").alias("obj"),
     )
-    pool_df = triples.select(F.sort_array(F.collect_set("obj")).alias("pool"))
     return negative_samples(
-        triples, "subj", "pred", "obj", pool_df, k=2
+        triples, "subj", "pred", "obj", triples.select("obj"), k=2
     ).orderBy("subj", "obj", "neg_idx")
 
 

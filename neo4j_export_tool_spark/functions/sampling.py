@@ -47,6 +47,61 @@ def mixture_sample(
     return df.filter(portable_bucket(F.col(id_col), 100, salt) < rate_col)
 
 
+def indexed_pool(pool_objs: DataFrame) -> tuple[DataFrame, int]:
+    """Dense global index over a candidate pool: returns ``((idx, pobj),
+    n)`` where ``idx`` is the 0-based rank of ``pobj`` in the global sort
+    order (Spark's binary UTF8 ordering — the same order ``sort_array``
+    / DuckDB ``list_sort`` give on these strings) and ``n = |pool|``.
+
+    Scale shape: the pool is range-repartitioned on the object, sorted
+    within partitions, and the dense rank is ``partition offset + local
+    row_number`` — two linear shuffles of the VOCABULARY (never the
+    corpus), no global single-partition sort, no corpus-wide array.  The
+    per-partition counts collected to the driver are one row per
+    partition.  The index is boundary-independent: whatever split points
+    range sampling picks, ``idx`` is the rank in the total order, so the
+    obj→idx mapping is deterministic across runs, sessions and cluster
+    sizes.  The range-partitioned plan is localCheckpoint'd because the
+    offsets and the row_number pass MUST see the same materialized
+    boundaries (range sampling is seeded per-RDD; a silent recompute
+    could legally pick different split points).
+    """
+    from pyspark.sql import Window
+
+    first = pool_objs.columns[0]
+    distinct = (
+        pool_objs.select(F.col(first).alias("pobj"))
+        .filter(F.col("pobj").isNotNull())
+        .distinct()
+    )
+    spark = pool_objs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    parts = (
+        distinct.repartitionByRange(n_parts, "pobj")
+        .sortWithinPartitions("pobj")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy("pobj")
+    indexed = (
+        parts.withColumn("_rn", F.row_number().over(w))
+        .join(off_df, "_pid")
+        .select((F.col("_off") + F.col("_rn") - 1).alias("idx"), "pobj")
+    )
+    return indexed, acc
+
+
 def negative_samples(
     triples: DataFrame,
     subj_col: str,
@@ -59,18 +114,77 @@ def negative_samples(
     """Deterministic corrupted-tail negatives for KG-embedding training
     (the TransE-family sampling step): for each (s, p, o) emit ``k`` rows
     (s, p, o, neg_idx, neg_obj) with
-    ``neg_obj = pool[h(s,p,o,i) % |pool|]``, cyclically bumped one slot
-    while it equals the true object.
+    ``neg_obj = sorted_pool[h(s,p,o,i) % |pool|]``, cyclically bumped one
+    slot while it equals the true object.
 
-    ``pool_df`` is a one-row DataFrame with a sorted ARRAY column named
-    ``pool`` (e.g. ``triples.select(F.sort_array(F.collect_set(obj))
-    .alias("pool"))``) — broadcast-cross-joined in, so the
-    candidate-entity universe stays in-plan with no driver collect.  The hash is the same
-    60-bit md5 prefix as `portable_bucket`, so a DuckDB oracle replays
-    the sampling verbatim; reproducible across runs, engines and
+    ``pool_df`` is a DataFrame of candidate objects, ONE PER ROW (first
+    column; e.g. ``triples.select("obj")`` — de-duplicated internally).
+    The pool is joined in as an indexed TABLE (`indexed_pool`): the
+    triple side computes ``idx = h % n`` and ``(idx+1) % n`` and
+    equi-joins both against ``(idx, pobj)`` — two shuffle joins on an
+    int64 key, the plan shape that still works when the entity
+    vocabulary of a 100 TB KG is 10⁸–10⁹ objects.  (The previous form
+    carried the whole pool as a one-row ARRAY column, kept for
+    bit-identity pinning as `negative_samples_array_pool`; an array of
+    10⁹ elements in a single row breaks long before any broadcast
+    threshold does.)
+
+    The hash is the same 60-bit md5 prefix as `portable_bucket`, so a
+    DuckDB oracle replays the sampling verbatim; output is bit-identical
+    to the array form, reproducible across runs, engines and
     partitionings, and resume-consistent like `mixture_sample`.
     Requires |pool| ≥ 2 for the bump to terminate.
     """
+    pool_tbl, n = indexed_pool(pool_df)
+    if n < 2:
+        raise ValueError(
+            "negative_samples needs a candidate pool of >= 2 objects"
+        )
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    base = triples.select(s.alias("subj"), p.alias("pred"), o.alias("obj"))
+    exploded = base.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("neg_idx")
+    )
+    key = F.concat_ws(
+        ":", F.lit(salt), F.col("subj"), F.col("pred"), F.col("obj"),
+        F.col("neg_idx").cast("string"),
+    )
+    idx = shingle_hash_col(key) % n
+    cand_side = exploded.withColumn("_idx", idx).withColumn(
+        "_bidx", (idx + 1) % n
+    )
+    cand_tbl = pool_tbl.select(
+        F.col("idx").alias("_idx"), F.col("pobj").alias("_cand")
+    )
+    bump_tbl = pool_tbl.select(
+        F.col("idx").alias("_bidx"), F.col("pobj").alias("_bump")
+    )
+    joined = cand_side.join(cand_tbl, "_idx").join(bump_tbl, "_bidx")
+    neg = F.when(
+        F.col("_cand") == F.col("obj"), F.col("_bump")
+    ).otherwise(F.col("_cand"))
+    return joined.select(
+        "subj", "pred", "obj", "neg_idx", neg.alias("neg_obj")
+    )
+
+
+def negative_samples_array_pool(
+    triples: DataFrame,
+    subj_col: str,
+    pred_col: str,
+    obj_col: str,
+    pool_df: DataFrame,
+    k: int = 2,
+    salt: str = "neg",
+) -> DataFrame:
+    """The original in-plan-ARRAY form of `negative_samples`, kept as the
+    bit-identity reference: ``pool_df`` is a one-row DataFrame with a
+    sorted ARRAY column named ``pool`` (``triples.select(F.sort_array(
+    F.collect_set(obj)).alias("pool"))``), broadcast-cross-joined in.
+    Correct and driver-collect-free, but a single row holding the whole
+    candidate vocabulary caps out at large |pool| — use
+    `negative_samples` (indexed-pool equi-join) everywhere; a pytest
+    pins the two outputs bit-identical."""
     s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
     n = F.size("pool")
     base = triples.select(s.alias("subj"), p.alias("pred"), o.alias("obj"))

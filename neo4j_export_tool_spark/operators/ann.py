@@ -272,8 +272,37 @@ def ivf_topk(
     nearest cell; each query probes its ``n_probe`` nearest cells only.
     At 100 TB the cell assignment is the partition key (write bucketed by
     cell), so a probe touches n_probe/n_cells of the data.
+
+    Cell assignment is an Arrow-batched numpy GEMM over the whole batch
+    (round 6): the centroids are a driver-side list shipped in the UDF
+    closure, so per-row argmax is ``V @ C.T`` + argmax — ZERO Exchange,
+    one `mapInPandas` pass, BLAS throughput.  (The previous crossJoin +
+    per-item ``row_number`` window expanded the corpus n_cells× and
+    shuffled the expansion once per k-means round — the whole cost of
+    IVF build at scale.)  Each k-means round now also folds its per-cell
+    partial sums INSIDE the same pass (one output row per cell per
+    batch), so a round shuffles ~n_cells×n_partitions tiny rows instead
+    of the corpus; partials are merged driver-side in sorted
+    (cell, partition, chunk) order, making the centroid arithmetic
+    order-deterministic — stronger than the old ``F.avg`` whose merge
+    order floated with task completion.
+
+    Assignment is candidate SELECTION only — the returned cosines still
+    come from the exact sequential-double `cosine_col` verify below, the
+    same GEMM-candidates/exact-verify split `embedding_neardup_pairs`
+    uses — so engine-exactness of the scoring never rests on BLAS
+    summation order.  Ties rank like the old window (d desc, cell asc —
+    argmax/stable argsort take the first maximum) and zero-norm
+    centroids score as +inf like the old NaN-first desc sort.
     """
+    import numpy as np
+
     base = items.select(F.col(id_col).alias("item_id"), as_double_array(F.col(vec_col)).alias("v"))
+    # the zero-shuffle assignment removed the parallelism the old window
+    # shuffle provided by accident — spread the (often single-file) scan
+    # once, up front, instead of n_cells×-expanding and re-shuffling the
+    # corpus every k-means round
+    base = base.repartition(items.sparkSession.sparkContext.defaultParallelism)
     base = base.persist()
     # init: deterministic sample — lowest ids spread by modular stride
     first = [
@@ -292,64 +321,117 @@ def ivf_topk(
     n_probe = min(n_probe, n_cells)
     first = first[:n_cells]
     centroids = first
-    for _ in range(n_iters):
-        cent_df = F.broadcast(
-            base.sparkSession.createDataFrame(
-                [(i, c) for i, c in enumerate(centroids)], "cell int, c array<double>"
-            )
-        )
-        assigned = (
-            base.crossJoin(cent_df)
-            .withColumn("d", cosine_col(F.col("v"), F.col("c")))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("item_id").orderBy(F.col("d").desc(), F.col("cell"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
-        )
-        agg = (
-            assigned.groupBy("cell")
-            .agg(
-                F.array(*[
-                    F.avg(F.col("v").getItem(i)) for i in range(len(centroids[0]))
-                ]).alias("c"),
-            )
-            .collect()
-        )
-        new = {r["cell"]: r["c"] for r in agg}
-        centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
+    dim = len(first[0])
 
-    cent_df = F.broadcast(
-        base.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], "cell int, c array<double>"
-        )
-    )
-    items_cells = (
-        base.crossJoin(cent_df)
-        .withColumn("d", cosine_col(F.col("v"), F.col("c")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("item_id").orderBy(F.col("d").desc(), F.col("cell"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("item_id", F.col("v").alias("i_vec"), "cell")
+    def _scores_fn(cents: list):
+        """(batch_matrix) -> per-cell score matrix.  Dividing by the item
+        norm is skipped: it is a positive per-row constant, so argmax and
+        the full cell ordering are unchanged; zero-norm centroids map to
+        +inf so they rank first, like NaN under the old desc sort."""
+        C = np.asarray(cents, dtype=np.float64)
+        Cn = np.sqrt((C * C).sum(axis=1))
+
+        def scores(V: np.ndarray) -> np.ndarray:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (V @ C.T) / Cn
+            return np.where(np.isnan(S), np.inf, S)
+
+        return scores
+
+    partial_schema = "pid int, seq int, cell int, cnt long, s array<double>"
+
+    def _kmeans_partials(cents: list):
+        scores = _scores_fn(cents)
+
+        def fn(batches):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            seq = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                cell = scores(V).argmax(axis=1)
+                rows = []
+                for c in np.unique(cell):
+                    sel = V[cell == c]
+                    rows.append(
+                        (pid, seq, int(c), len(sel), sel.sum(axis=0).tolist())
+                    )
+                seq += 1
+                yield pd.DataFrame(
+                    rows, columns=["pid", "seq", "cell", "cnt", "s"]
+                )
+
+        return fn
+
+    for _ in range(n_iters):
+        partials = base.mapInPandas(
+            _kmeans_partials(centroids), partial_schema
+        ).collect()
+        # deterministic merge order: (cell, partition, chunk)
+        sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
+        for r in sorted(partials, key=lambda r: (r["cell"], r["pid"], r["seq"])):
+            c = r["cell"]
+            if c not in sums:
+                sums[c] = np.zeros(dim)
+                cnts[c] = 0
+            sums[c] = sums[c] + np.asarray(r["s"])
+            cnts[c] += r["cnt"]
+        centroids = [
+            (sums[i] / cnts[i]).tolist() if cnts.get(i) else centroids[i]
+            for i in range(n_cells)
+        ]
+
+    def _assign_items(cents: list):
+        scores = _scores_fn(cents)
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                out = pdf.rename(columns={"v": "i_vec"})
+                out["cell"] = scores(V).argmax(axis=1).astype("int32")
+                yield out
+
+        return fn
+
+    items_cells = base.mapInPandas(
+        _assign_items(centroids), "item_id long, i_vec array<double>, cell int"
     )
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("q_vec"))
-    q_cells = (
-        q.crossJoin(cent_df)
-        .withColumn("d", cosine_col(F.col("q_vec"), F.col("c")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cell"))
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+
+    def _assign_probes(cents: list, probes: int):
+        scores = _scores_fn(cents)
+
+        def fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["q_vec"].to_numpy())
+                # stable argsort of -S: d desc, then cell asc on ties —
+                # the old window's ordering
+                order = np.argsort(-scores(V), axis=1, kind="stable")[:, :probes]
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy().repeat(probes),
+                        "q_vec": pdf["q_vec"].to_numpy().repeat(probes),
+                        "cell": order.reshape(-1).astype("int32"),
+                    }
+                )
+
+        return fn
+
+    q_cells = q.mapInPandas(
+        _assign_probes(centroids, n_probe),
+        "query_id long, q_vec array<double>, cell int",
     )
     scored = q_cells.join(items_cells, "cell")
     if exclude_self:

@@ -192,17 +192,68 @@ def test_negative_samples_semantics(spark):
         [("s1", "P", "a"), ("s2", "P", "b"), ("s3", "Q", "c")],
         "subj string, pred string, obj string",
     )
-    pool_df = triples.select(F.sort_array(F.collect_set("obj")).alias("pool"))
-    out = negative_samples(triples, "subj", "pred", "obj", pool_df, k=3)
+    out = negative_samples(
+        triples, "subj", "pred", "obj", triples.select("obj"), k=3
+    )
     rows = out.collect()
     assert len(rows) == 9
     for r in rows:
         assert r["neg_obj"] != r["obj"]
         assert r["neg_obj"] in {"a", "b", "c"}
     again = negative_samples(
-        triples, "subj", "pred", "obj", pool_df, k=3
+        triples, "subj", "pred", "obj", triples.select("obj"), k=3
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # |pool| < 2 fails loud, now at plan-build time (driver-side count)
+    one = spark.createDataFrame([("s", "P", "a")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError):
+        negative_samples(one, "subj", "pred", "obj", one.select("obj"), k=1)
+
+
+def test_negative_samples_join_form_bit_identical_to_array_form(spark):
+    """The round-6 indexed-pool equi-join plan must reproduce the
+    one-row-array plan BIT-FOR-BIT (same sorted pool, same md5 pick,
+    same bump), and its plan must contain no corpus-wide array
+    construct (no collect_set) — the de-ceiling that lets the pool
+    scale to 10^8+ entities."""
+    from neo4j_export_tool_spark.functions.sampling import (
+        indexed_pool,
+        negative_samples,
+        negative_samples_array_pool,
+    )
+    from pyspark.sql import functions as F
+
+    # pool big enough that several triples hash to distinct slots and
+    # at least one pick collides with the true object (forcing bumps)
+    rows = [(f"s{i}", "P", f"obj{i % 17:02d}") for i in range(200)]
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    ).repartition(7)
+
+    join_out = negative_samples(
+        triples, "subj", "pred", "obj", triples.select("obj"), k=2
+    )
+    pool_arr = triples.select(
+        F.sort_array(F.collect_set("obj")).alias("pool")
+    )
+    arr_out = negative_samples_array_pool(
+        triples, "subj", "pred", "obj", pool_arr, k=2
+    )
+    j = sorted(map(tuple, join_out.collect()))
+    a = sorted(map(tuple, arr_out.collect()))
+    assert j == a and len(j) == 400
+
+    plan = join_out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan  # no corpus-wide array construct
+
+    # the index itself is the dense rank in the global sort order
+    idx_rows = {
+        r["pobj"]: r["idx"]
+        for r in indexed_pool(triples.select("obj"))[0].collect()
+    }
+    expected = {f"obj{i:02d}": i for i in range(17)}
+    assert idx_rows == expected
 
 
 def test_corpus_prep_end_to_end(spark):
