@@ -41,6 +41,27 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+# Lanes whose single-run numbers swung up to 7× between windows on this
+# co-tenanted host (round-5 judge measurement: lsh_full_table 17.2 s vs
+# the 2.3 s archive on a window whose trailing control spiked 4×).  These
+# run median-of-3 with a recorded spread instead of min-of-2, so an
+# archive is robust to one interfered run AND carries evidence of how
+# contended its window was, per lane.
+NOISY_LANES = {"q16_embedding_neardup", "lsh_full_table",
+               "jsonl_export", "jsonl_export_dir"}
+
+
+def _median_timed(fn, n: int = 3) -> tuple[float, float, list[float]]:
+    """(median, spread, runs) over n timed calls; spread = (max-min)/median
+    — 0 on a quiet window, O(1) when a neighbor stole the core mid-lane."""
+    import statistics
+
+    runs = [_timed(fn) for _ in range(n)]
+    med = statistics.median(runs)
+    spread = (max(runs) - min(runs)) / med if med else 0.0
+    return med, spread, runs
+
+
 # Host-speed reference for the control lanes, measured on a quiet window
 # (round 5, local[32], best-of-3 of best-of-2).  Cross-round absolute
 # comparisons divide by host_speed = control_sec / ref — the round-4
@@ -289,7 +310,23 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
                 "flagship_docs_per_sec": round(n_docs / kg_sec, 1),
             }
 
+        lane_stats: dict[str, dict] = {}
+
+        def _record_noisy(name: str, run) -> None:
+            med, spread, runs = _median_timed(run)
+            timings[name] = round(med, 3)
+            lane_stats[name] = {
+                "median": round(med, 3),
+                "spread": round(spread, 3),
+                "runs": [round(r, 3) for r in runs],
+            }
+
         for name, fn in sorted(entry_mod.queries().items()):
+            if name in NOISY_LANES:
+                # median-of-3 + spread for lanes the round-5 adjudication
+                # measured at up to 7× between windows
+                _record_noisy(name, lambda: _force(fn(spark, sf_dir)))
+                continue
             # best of 2: a single cold run conflates machine contention with
             # real regressions (round-2 per-query numbers swung ±150% on an
             # otherwise-unchanged operator); min matches the export/flagship
@@ -304,16 +341,13 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
         from neo4j_export_tool_spark.operators.ann import hyperplane_lsh_pairs
 
         emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        timings["lsh_full_table"] = round(
-            min(
-                _timed(lambda: _force(
-                    hyperplane_lsh_pairs(
-                        emb_full, "embedding", "vec_id", min_cosine=0.9
-                    )
-                ))
-                for _ in range(2)
+        _record_noisy(
+            "lsh_full_table",
+            lambda: _force(
+                hyperplane_lsh_pairs(
+                    emb_full, "embedding", "vec_id", min_cosine=0.9
+                )
             ),
-            3,
         )
 
         # perf-only lane (round 5): the composed corpus-prep hygiene flow
@@ -378,27 +412,29 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
         edges_p.count()
         export_records = 0
 
-        def _timed_export(**kw):
-            # best of 3: single-host runs are noisy; min is the
-            # least-interfered estimate (same policy as flagship_kg)
+        def _timed_export(lane, **kw):
+            # median-of-3 + spread (NOISY_LANES policy): export swung
+            # 56K→30K rec/s between the round-4/5 driver windows on pure
+            # host contention
             nonlocal export_records
-            best = float("inf")
-            for _ in range(3):
+
+            def one():
+                nonlocal export_records
                 with tempfile.TemporaryDirectory() as td:
-                    t0 = time.perf_counter()
                     res = export_jsonl(nodes, edges_p, td, db_name="bench", **kw)
-                    best = min(best, time.perf_counter() - t0)
                     export_records = res.node_count + res.rel_count
-            return best
+
+            _record_noisy(lane, one)
+            return timings[lane]
 
         # sort_lines=False matches the reference's semantics (it streams
         # records in cursor order; no global sort) — the sorted single-file
         # mode is an extra determinism feature, benchmarked by its tests
-        export_sec = _timed_export(sort_lines=False)
-        timings["jsonl_export"] = round(export_sec, 3)
+        export_sec = _timed_export("jsonl_export", sort_lines=False)
         # dir mode: executor-parallel section writes (the 100 TB path)
-        export_dir_sec = _timed_export(single_file=False, sort_lines=False)
-        timings["jsonl_export_dir"] = round(export_dir_sec, 3)
+        export_dir_sec = _timed_export(
+            "jsonl_export_dir", single_file=False, sort_lines=False
+        )
         nodes.unpersist()
         edges_p.unpersist()
 
@@ -411,6 +447,9 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
         return {
             "control_first": control_first,
             "control_last": control_last,
+            # per-lane {median, spread, runs} for the NOISY_LANES set:
+            # spread >> 0 marks a lane whose window was contended
+            "lane_stats": lane_stats,
             "control_jvm_sec": control_sec,
             "control_python_sec": control_py_sec,
             "control_ref_jvm_sec": _CONTROL_REF_JVM_SEC,
