@@ -508,14 +508,22 @@ def _q30_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q31_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode round-trip: deterministic P6 PPM payloads built
-    per doc (pixel RGB derived from doc_id), decoded back via the
-    Arrow-batched PPM codec — oracle is the closed form of the same
-    arithmetic."""
+    """REAL image decode round-trip: even doc_ids carry deterministic P6
+    PPM payloads (2×2, pixel RGB derived from doc_id), odd doc_ids carry
+    REAL baseline JPEG payloads (round-6 de-stub,
+    `operators/jpeg.py`: solid 8×8 color at quality 100 — every
+    quantizer 1, so the decode reproduces the integer YCbCr round trip
+    exactly), both decoded back through the Arrow-batched
+    container-sniffing codec.  The oracle is the closed form of the same
+    arithmetic (the JPEG branch replays the YCbCr↔RGB floor(x+0.5)
+    integer math in SQL verbatim); Huffman/EXTEND/IDCT conventions are
+    additionally pinned by a hand-assembled T.81 fixture in
+    tests/test_jpeg.py."""
     from collections.abc import Iterator
 
     import pandas as pd
 
+    from neo4j_export_tool_spark.operators.jpeg import encode_jpeg
     from neo4j_export_tool_spark.operators.multimodal import (
         encode_ppm,
         extract_image_features,
@@ -530,7 +538,10 @@ def _q31_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 rgb = bytes([d % 251, (d * 7) % 251, (d * 13) % 251])
                 mids.append(str(d))
-                payloads.append(encode_ppm(2, 2, rgb * 4))
+                if d % 2:
+                    payloads.append(encode_jpeg(8, 8, rgb * 64, quality=100))
+                else:
+                    payloads.append(encode_ppm(2, 2, rgb * 4))
             yield pd.DataFrame({"media_id": mids, "payload": payloads})
 
     media = docs.mapInPandas(build, schema="media_id string, payload binary")
@@ -1761,13 +1772,42 @@ def oracle_sql() -> dict[str, str]:
         # q31/q32: the engine round-trips deterministic PPM/WAV payloads
         # through real Arrow-batched decoders; the oracle is the closed
         # form of the payload-generation arithmetic
+        # q31: even docs = lossless PPM round trip; odd docs = baseline
+        # JPEG at quality 100 — solid blocks make the decode equal the
+        # integer YCbCr round trip, replayed here with the codec's exact
+        # floor(x+0.5) double arithmetic (same constants, same term order)
         "q31_image_decode": """
+            WITH px AS (
+              SELECT doc_id,
+                     (doc_id % 251)::DOUBLE AS r,
+                     ((doc_id * 7) % 251)::DOUBLE AS g,
+                     ((doc_id * 13) % 251)::DOUBLE AS b
+              FROM documents
+            ), ycc AS (
+              SELECT doc_id, r, g, b,
+                     floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5) AS y,
+                     greatest(0.0, least(255.0,
+                       floor(128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b + 0.5))) AS cb,
+                     greatest(0.0, least(255.0,
+                       floor(128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b + 0.5))) AS cr
+              FROM px
+            ), dec AS (
+              SELECT doc_id, r, g, b,
+                     greatest(0.0, least(255.0,
+                       floor(y + 1.402 * (cr - 128) + 0.5))) AS jr,
+                     greatest(0.0, least(255.0,
+                       floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))) AS jg,
+                     greatest(0.0, least(255.0,
+                       floor(y + 1.772 * (cb - 128) + 0.5))) AS jb
+              FROM ycc
+            )
             SELECT doc_id,
-                   2::INT AS width, 2::INT AS height,
-                   (doc_id % 251)::INT AS mean_r,
-                   ((doc_id * 7) % 251)::INT AS mean_g,
-                   ((doc_id * 13) % 251)::INT AS mean_b
-            FROM documents ORDER BY doc_id
+                   (CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 2 END)::INT AS width,
+                   (CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 2 END)::INT AS height,
+                   (CASE WHEN doc_id % 2 = 1 THEN jr ELSE r END)::INT AS mean_r,
+                   (CASE WHEN doc_id % 2 = 1 THEN jg ELSE g END)::INT AS mean_g,
+                   (CASE WHEN doc_id % 2 = 1 THEN jb ELSE b END)::INT AS mean_b
+            FROM dec ORDER BY doc_id
         """,
         "q32_audio_decode": """
             SELECT doc_id,

@@ -6,17 +6,21 @@ Arrow-batched ``mapInPandas`` UDFs.
 
 Two codec tiers:
 
-- REAL stdlib decoders for formats stdlib can express: binary PPM (P6)
-  images, PNG (full zlib inflate + all five filter-type reconstructions,
-  gray/RGB/RGBA/gray-alpha at bit depth 8) — parse / mean-RGB /
-  nearest-neighbor resize — and RIFF WAV audio (stdlib ``wave``) — sample
-  rate / channels / duration / every-Nth frame sampling.  These exercise
-  the full decode→feature→re-encode dataflow end-to-end with zero
-  external dependencies.
-- PIL/ffmpeg/librosa-class formats (JPEG/MP4/…, whose entropy coders
-  stdlib lacks) are NOT decodable in this container — that step is
-  STUBBED behind ``require_codec`` (clearly-marked NotImplementedError);
-  the Spark-side plumbing is the same as the real tiers.
+- REAL stdlib/numpy decoders for formats expressible without external
+  entropy-coder libraries: binary PPM (P6) images, PNG (full zlib
+  inflate + all five filter-type reconstructions, gray/RGB/RGBA/
+  gray-alpha at bit depth 8), baseline JFIF JPEG (Huffman + 8×8 DCT,
+  4:4:4/4:2:0, restart intervals — `operators/jpeg.py`, round-6
+  de-stub) — parse / mean-RGB / nearest-neighbor resize — and RIFF WAV
+  audio (stdlib ``wave``) — sample rate / channels / duration /
+  every-Nth frame sampling.  These exercise the full
+  decode→feature→re-encode dataflow end-to-end with zero external
+  dependencies.
+- ffmpeg-class formats (MP4/H.264/…, whose arithmetic/CABAC coders are
+  genuinely out of stdlib reach) are NOT decodable in this container —
+  that step is STUBBED behind ``require_codec`` (clearly-marked
+  NotImplementedError); the Spark-side plumbing is the same as the
+  real tiers.
 
 Scale notes: binary batches are large — ``spark.sql.execution.arrow.
 maxRecordsPerBatch`` bounds Arrow batch memory, and media tables should be
@@ -140,11 +144,15 @@ def resize_ppm(payload: bytes, new_w: int, new_h: int) -> bytes:
 
 def resize_image_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
     """Format-preserving nearest-neighbor resize: PNG in → RGB PNG out,
-    PPM in → PPM out."""
+    JPEG in → 4:4:4 quality-95 JPEG out, PPM in → PPM out."""
     w, h, rgb, fmt = decode_image_payload(payload)
     resized = _resize_rgb(rgb, w, h, new_w, new_h)
     if fmt == "png":
         return encode_png(new_w, new_h, resized, color_type=2)
+    if fmt == "jpeg":
+        from neo4j_export_tool_spark.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(new_w, new_h, resized, quality=95)
     return encode_ppm(new_w, new_h, resized)
 
 
@@ -314,15 +322,23 @@ def png_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, rgb.tobytes()
 
 
+JPEG_SIGNATURE = b"\xff\xd8"
+
+
 def decode_image_payload(payload: bytes) -> tuple[int, int, bytes, str]:
     """Sniff the container by magic and decode → (w, h, rgb, format)."""
     if payload.startswith(PNG_SIGNATURE):
         w, h, rgb = png_to_rgb(payload)
         return w, h, rgb, "png"
+    if payload.startswith(JPEG_SIGNATURE):
+        from neo4j_export_tool_spark.operators.jpeg import jpeg_to_rgb
+
+        w, h, rgb = jpeg_to_rgb(payload)
+        return w, h, rgb, "jpeg"
     if payload.startswith(b"P6"):
         w, h, rgb = decode_ppm(payload)
         return w, h, rgb, "ppm"
-    raise ValueError("unrecognized image container (need PNG or P6 PPM)")
+    raise ValueError("unrecognized image container (need PNG, JPEG or P6 PPM)")
 
 
 def encode_wav(
