@@ -73,8 +73,13 @@ def _median_timed(fn, n: int = 3) -> tuple[float, float, list[float]]:
 # Quiet-window reference (2026-08-17, local[32], best of 5×best-of-2);
 # only meaningful at 32 cores — other -cpus values report the raw control
 # seconds but host_speed stays comparable only against same-core runs.
+# PY ref re-based in round 6: the control input gained a string column
+# (JIT-deopt immunity, see _control_python docstring / PLANS.md §12), so
+# round ≤5 python_sec values (long-only lane, ref 2.0) are NOT comparable
+# to round ≥6 values.  2.5 = best-of-9 across three fresh sessions on a
+# 1.3×-slow window, scaled by the same window's JVM-control ratio.
 _CONTROL_REF_JVM_SEC = 1.17
-_CONTROL_REF_PY_SEC = 2.0
+_CONTROL_REF_PY_SEC = 2.5
 
 
 def _control_jvm(spark) -> float:
@@ -99,9 +104,25 @@ def _control_jvm(spark) -> float:
 
 
 def _control_python(spark) -> float:
-    """Engine-independent Python-worker control: an Arrow-batched numpy
-    reduction over spark.range — host normalizer for the pandas-UDF lanes
-    (python fork/Arrow costs move differently from JVM costs under load)."""
+    """Engine-independent Python-worker control: an Arrow-batched numpy +
+    string reduction over spark.range — host normalizer for the pandas-UDF
+    lanes (python fork/Arrow costs move differently from JVM costs under
+    load).
+
+    The input schema is deliberately MIXED (bigint + string).  A long-only
+    control is a trap on this JVM: the C2-compiled JVM→Python Arrow writer
+    specializes to the first input value-profile it sees, and the first
+    pandas lane with any other column type permanently deoptimizes it —
+    measured 2.3 s → 17-18 s for a 96M-row long-only stream, reproduced on
+    vanilla Spark 4.1.2, surviving worker replacement (fresh PIDs equally
+    slow), input-side only, erased under -XX:TieredStopAtLevel=1 (so: JIT
+    profile pollution, not host noise).  Real lanes all carry strings and
+    always run the generic path at full speed; only a type-pure control
+    ever saw the fast specialization, which made the TRAILING control of
+    every bench run read ~7× "contended" on a quiet host.  Mixed input
+    measures the steady-state generic path first and last.  Full diagnosis:
+    PLANS.md §12."""
+    from pyspark.sql import functions as F
 
     def _k(batches):
         import numpy as _np
@@ -112,11 +133,13 @@ def _control_python(spark) -> float:
             acc = 0.0
             for _ in range(8):  # fixed numpy work per Arrow batch
                 acc += float(_np.sqrt((a * 2654435761 % 1000003)).sum())
+            acc += float(b["s"].str.len().sum())  # fixed string work
             yield _pd.DataFrame({"s": [acc]})
 
     def _fresh():
         return (
-            spark.range(0, 96_000_000, 1, 64)
+            spark.range(0, 12_000_000, 1, 64)
+            .select("id", F.format_string("ctl-%d-x", "id").alias("s"))
             .mapInPandas(_k, schema="s double")
             .groupBy()
             .sum("s")
