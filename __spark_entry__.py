@@ -292,23 +292,66 @@ def _q17_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q18_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary plumbing: opaque payloads → per-payload features
-    via Arrow batches (deterministic fake decode; real codec stubbed)."""
-    from neo4j_export_tool_spark.operators.multimodal import extract_media_features
+def _q18_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container demux (round-6 de-stub of the video tier,
+    `operators/mp4.py`): each doc carries a deterministic single-track
+    ISO BMFF container (2-8 samples of constant-value bytes, varied
+    per-sample durations, every-3rd keyframe, multi-chunk stsc layout);
+    the demuxer walks ftyp/moov/stbl, interprets stts/stsc/stsz/stco/stss
+    for real, slices each sample out of mdat, and emits one row per
+    sample with timing, keyframe flag, and byte evidence (length +
+    byte-sum).  The oracle replays the generator's closed form — any
+    offset, timing, or table-interpretation error shifts a sample into
+    its differently-valued neighbor and breaks byte_sum.  Bit-level
+    sample equality and the spec corners (RLE stts, co64, ctts, v1
+    headers, truncation) are pinned by tests/test_mp4.py.  The
+    entropy-coded bitstream INSIDE samples stays honestly stubbed
+    (multimodal.require_codec)."""
+    from collections.abc import Iterator
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
-        F.lit("text-as-binary").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.struct(
-            F.lit("text/plain").alias("content_type"),
-            F.length(F.col("text")).cast("long").alias("n_bytes"),
-            F.lit("synthetic").alias("source_url"),
-        ).alias("meta"),
+    import pandas as pd
+
+    from neo4j_export_tool_spark.operators.mp4 import (
+        encode_mp4,
+        extract_video_samples,
     )
-    return extract_media_features(media).orderBy("media_id")
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 7 + 2
+                samples = [
+                    bytes([(d + 37 * i) % 256]) * (50 + (d * 31 + i * 17) % 100)
+                    for i in range(n)
+                ]
+                deltas = [3000 + 100 * ((d + k) % 5) for k in range(n)]
+                mids.append(str(d))
+                payloads.append(
+                    encode_mp4(
+                        samples,
+                        deltas,
+                        width=16 * (d % 40 + 1),
+                        height=16 * (d % 30 + 1),
+                        keyframes=[i for i in range(n) if i % 3 == 0],
+                        chunk_pattern=(2, 3),
+                    )
+                )
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    return (
+        extract_video_samples(media)
+        .select(
+            F.col("media_id").cast("long").alias("doc_id"),
+            "sample_idx", "dts_ticks", "keyframe_flag", "n_bytes",
+            "byte_sum", "width", "height", "duration_ms",
+        )
+        .orderBy("doc_id", "sample_idx")
+    )
 
 
 def _q19_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1392,7 +1435,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q15_simhash": _q15_simhash,
         "q16_embedding_neardup": _q16_embedding_neardup,
         "q17_ann_topk": _q17_ann_topk,
-        "q18_media_features": _q18_media_features,
+        "q18_video_demux": _q18_video_demux,
         "q19_text_profile": _q19_text_profile,
         "q23_events_window": _q23_events_window,
         "q24_sessionize": _q24_sessionize,
@@ -1709,13 +1752,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, "rank", item_id, cosine FROM ranked
             WHERE "rank" <= 5 ORDER BY query_id, "rank"
         """,
-        "q18_media_features": """
-            SELECT 'm' || doc_id AS media_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   sha256(text) AS payload_sha256,
-                   (octet_length(encode(text)) % 640) + 1 AS fake_width,
-                   (octet_length(encode(text)) % 480) + 1 AS fake_height
-            FROM documents ORDER BY media_id
+        # q18: the engine builds deterministic MP4 containers and demuxes
+        # them for real (box walk + stts/stsc/stsz/stco/stss); the oracle
+        # is the closed form of the generator — dts replayed as a window
+        # sum of the per-sample deltas, byte_sum as length × value.
+        "q18_video_demux": """
+            WITH nums AS (SELECT unnest(range(0, 8)) AS i),
+            s AS (
+              SELECT d.doc_id AS doc_id, n.i AS sample_idx,
+                     3000 + 100 * ((d.doc_id + n.i) % 5) AS delta,
+                     50 + ((d.doc_id * 31 + n.i * 17) % 100) AS n_bytes,
+                     (50 + ((d.doc_id * 31 + n.i * 17) % 100))
+                       * ((d.doc_id + 37 * n.i) % 256) AS byte_sum,
+                     CASE WHEN n.i % 3 = 0 THEN 1 ELSE 0 END AS keyframe_flag,
+                     16 * ((d.doc_id % 40) + 1) AS width,
+                     16 * ((d.doc_id % 30) + 1) AS height
+              FROM documents d JOIN nums n ON n.i < (d.doc_id % 7) + 2
+            )
+            SELECT doc_id, sample_idx,
+                   CAST(coalesce(sum(delta) OVER (
+                     PARTITION BY doc_id ORDER BY sample_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS dts_ticks,
+                   CAST(keyframe_flag AS BIGINT) AS keyframe_flag,
+                   CAST(n_bytes AS BIGINT) AS n_bytes,
+                   CAST(byte_sum AS BIGINT) AS byte_sum,
+                   CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST((1000 * sum(delta) OVER (PARTITION BY doc_id))
+                        // 90000 AS BIGINT) AS duration_ms
+            FROM s
+            ORDER BY doc_id, sample_idx
         """,
         "q19_text_profile": _TEXT_PROFILE_SQL,
         "q23_events_window": """

@@ -16,11 +16,13 @@ Two codec tiers:
   every-Nth frame sampling.  These exercise the full
   decode→feature→re-encode dataflow end-to-end with zero external
   dependencies.
-- ffmpeg-class formats (MP4/H.264/…, whose arithmetic/CABAC coders are
-  genuinely out of stdlib reach) are NOT decodable in this container —
-  that step is STUBBED behind ``require_codec`` (clearly-marked
-  NotImplementedError); the Spark-side plumbing is the same as the
-  real tiers.
+- MP4 CONTAINER demux is REAL as of round 6 (`operators/mp4.py`: box
+  tree, sample tables, per-sample byte/timestamp/keyframe extraction) —
+  the CPU-side layer a real video pipeline runs before handing coded
+  samples to hardware decoders.  Only the entropy-coded bitstream
+  INSIDE samples (H.264/H.265 CABAC/CAVLC) is genuinely out of stdlib
+  reach and stays STUBBED behind ``require_codec`` (clearly-marked
+  NotImplementedError).
 
 Scale notes: binary batches are large — ``spark.sql.execution.arrow.
 maxRecordsPerBatch`` bounds Arrow batch memory, and media tables should be
