@@ -402,6 +402,53 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
         corpus_prep_docs_per_sec = round(n_docs_cp / cp_sec, 1)
         corpus_prep_chunks = cp_res.metrics["chunks"]
 
+        # perf-only lane (round 6): PQ build+search over the FULL
+        # embeddings table — train (2 k-means rounds), encode, ADC
+        # candidates, exact re-verify; 16 queries.  Exactness is pinned by
+        # tests/test_pq.py (planted-copy equality with brute force); this
+        # keeps the memory-scale ANN path's cost on the bench surface.
+        from neo4j_export_tool_spark.operators.pq import pq_topk
+
+        pq_queries = emb_full.orderBy("vec_id").limit(16)
+        timings["pq_search"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        pq_topk(
+                            emb_full, pq_queries, "embedding", "vec_id",
+                            k=5, m=8, n_codes=64, n_iters=2,
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
+        # perf-only lane (round 6): concept co-occurrence projection of the
+        # mention graph + exact per-node triangle counts (degree-ordered
+        # orientation).  Exactness pinned by tests/test_triangles.py DuckDB
+        # twins; this keeps the derived-graph analytics cost visible.
+        from neo4j_export_tool_spark.operators.triangles import (
+            cooccurrence_edges,
+            triangle_counts,
+        )
+        from neo4j_export_tool_spark.plans.flagship import (
+            doc_mentions,
+            load_documents,
+        )
+
+        def _tri_run():
+            m_df = doc_mentions(load_documents(spark, sf_dir))
+            edges = cooccurrence_edges(
+                m_df, "doc_id", "concept", max_concepts_per_doc=256
+            )
+            _force(triangle_counts(edges, "c1", "c2"))
+
+        timings["cooccur_triangles"] = round(
+            min(_timed(_tri_run) for _ in range(2)), 3
+        )
+
         # flagship KG end-to-end (mentions → edges → hash join), with
         # throughput accounting
         from neo4j_export_tool_spark.plans.flagship import documents_kg
