@@ -1,0 +1,108 @@
+"""k-core extraction over the derived concept graph.
+
+After co-occurrence projection (`operators/triangles.py`) the standard
+cohesion filter is the k-core: the maximal subgraph where every node keeps
+degree ≥ k — the classic noise filter before community detection or
+embedding training on a KG (long-tail concepts peel away, hubs stay).
+
+Algorithm: exact fixpoint peeling.  Each round computes degrees (one keyed
+agg), drops nodes below k, and semi-joins the edge set down — all
+equi-joins, no corpus windows.  Rounds repeat until no node peels; the
+round count is the peel depth of the graph (small for power-law graphs —
+each round removes every currently-under-k node at once, not one node at
+a time).  Lineage is cut per round with ``localCheckpoint`` exactly like
+`operators/components.py` / `operators/pagerank.py`, so deep peels do not
+accrete plans.  Per-round driver work is one ``count()`` (the fixpoint
+test) — no edge or node data is collected.
+
+``core_numbers`` (the full decomposition) runs ``k_core`` for k = 1, 2, …
+until the core empties; cost is Σ_k peel-depth(k) rounds.  Exact and
+partition-independent (integer degrees, equi-joins), but at 10⁹-node
+scale prefer filtering at a single operating k via ``k_core`` — the
+decomposition's sequential k-sweep is the textbook trade, stated here
+rather than hidden (``max_core`` caps it explicitly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    return e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def k_core(
+    edges: DataFrame, a_col: str, b_col: str, k: int, max_rounds: int = 1000
+) -> DataFrame:
+    """(node) — members of the k-core of the undirected simple graph."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = _canonical(edges, a_col, b_col).localCheckpoint(eager=False)
+    n_edges = und.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = _degrees(und).where(F.col("deg") >= k).select("node")
+        pruned = (
+            und.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+        n_pruned = pruned.count()
+        if n_pruned == n_edges:
+            return _degrees(und).select("node")  # fixpoint: all degrees ≥ k
+        und, n_edges = pruned, n_pruned
+    if n_edges != 0:
+        raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+    return edges.sparkSession.createDataFrame([], "node string").select(
+        F.col("node").cast(dict(edges.dtypes)[a_col])
+    )
+
+
+def core_numbers(
+    edges: DataFrame, a_col: str, b_col: str, max_core: int = 64
+) -> DataFrame:
+    """(node, core) — the largest k for which each node sits in the k-core.
+
+    Sequential k-sweep over ``k_core`` (exact; cost stated in the module
+    docstring).  Nodes beyond ``max_core`` are reported AT ``max_core``
+    and the cap is the caller's explicit trade, mirroring the candidate
+    caps in `operators/dedup.py`.
+    """
+    und = _canonical(edges, a_col, b_col).localCheckpoint(eager=False)
+    result = _degrees(und).select("node", F.lit(0).alias("core"))
+    for k in range(1, max_core + 1):
+        members = k_core(und, "u", "v", k)
+        if members.isEmpty():
+            return result
+        result = (
+            result.join(
+                members.select(F.col("node"), F.lit(1).alias("_in")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.when(F.col("_in").isNotNull(), F.lit(k))
+                .otherwise(F.col("core"))
+                .alias("core"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return result
