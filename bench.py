@@ -449,6 +449,60 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             min(_timed(_tri_run) for _ in range(2)), 3
         )
 
+        # perf-only lane (round 6): bigram-LM perplexity — train on the
+        # full documents table, score the same table (the CCNet quality
+        # filter, train+apply).  Exactness pinned by tests/test_lm_score.py
+        # (python twin, rel 1e-12; partitioning-independent fold).
+        from neo4j_export_tool_spark.operators.lm_score import (
+            score_docs,
+            train_bigram_lm,
+        )
+
+        docs_lm = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+
+        def _lm_run():
+            lm = train_bigram_lm(docs_lm, "text", "doc_id", max_vocab=65536)
+            _force(score_docs(docs_lm, lm, "doc_id", "text"))
+
+        timings["lm_perplexity"] = round(
+            min(_timed(_lm_run) for _ in range(2)), 3
+        )
+
+        # perf-only lane (round 6): BM25 top-k — inverted-index join over
+        # the documents table, 16 queries drawn from the corpus itself.
+        # Exactness pinned by tests/test_retrieval.py (python twin).
+        from neo4j_export_tool_spark.operators.retrieval import bm25_topk
+
+        bm_queries = (
+            docs_lm.orderBy("doc_id")
+            .limit(16)
+            .select(
+                "doc_id",
+                _F.array_join(
+                    _F.slice(_F.split("text", " "), 1, 4), " "
+                ).alias("qtext"),
+            )
+        )
+
+        timings["bm25_topk"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        bm25_topk(
+                            docs_lm, bm_queries,
+                            doc_id="doc_id", doc_text="text",
+                            query_id="doc_id", query_text="qtext",
+                            k=10,
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # flagship KG end-to-end (mentions → edges → hash join), with
         # throughput accounting
         from neo4j_export_tool_spark.plans.flagship import documents_kg
