@@ -503,6 +503,63 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lanes (round 6): temporal joins over the events table.
+        # As-of: every event picks up the latest prior 'purchase' by the
+        # same user (union+window shape, one shuffle).  Range: events
+        # falling in ±300 s validity windows around each purchase
+        # (bucket-expansion equi-join).  Exactness pinned by
+        # tests/test_temporal.py (DuckDB ASOF + inequality-join twins).
+        from neo4j_export_tool_spark.operators.temporal import (
+            asof_join,
+            range_join_points,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "event_type",
+            _F.unix_seconds(_F.col("ts").cast("timestamp")).alias("ts"),
+        )
+        ref_type = ev.select(_F.min("event_type")).first()[0]
+        ev_ref = ev.where(_F.col("event_type") == ref_type).select(
+            "user_id", "ts", _F.col("event_id").alias("ref_event_id")
+        )
+
+        timings["asof_join_events"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        asof_join(
+                            ev, ev_ref, "user_id", "ts", ["ref_event_id"],
+                            tolerance=86_400,
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
+        iv = ev_ref.select(
+            "user_id",
+            (_F.col("ts") - 300).alias("w_start"),
+            (_F.col("ts") + 300).alias("w_end"),
+            "ref_event_id",
+        )
+        pts = ev.select("user_id", "ts", "event_id", "event_type")
+        timings["range_join_events"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        range_join_points(
+                            iv, pts, "user_id", "w_start", "w_end", "ts",
+                            bucket_width=600,
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # flagship KG end-to-end (mentions → edges → hash join), with
         # throughput accounting
         from neo4j_export_tool_spark.plans.flagship import documents_kg

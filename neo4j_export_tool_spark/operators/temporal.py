@@ -1,0 +1,176 @@
+"""As-of and range joins over event streams.
+
+Two joins Spark's optimizer has no native operator for (the reference
+engine has no joins at all beyond its node-hash lookup — SURVEY.md
+§2.3), both essential to temporal KG construction: "which was the
+latest profile/version as of this event" (as-of) and "which events fall
+inside this validity interval" (range).
+
+As-of join — the UNION + window formulation, not a join at all:
+
+    tag left rows 0, right rows 1; union; one shuffle partitioned by
+    key, sorted by (ts, tag desc, right-tiebreak); running
+    last_value(right payload, ignorenulls) gives every left row the
+    most recent right row with right.ts <= left.ts.
+
+One shuffle of |L|+|R| rows, zero candidate explosion, no skew beyond
+the key's own — the scale-optimal shape (an inequality join would
+otherwise be a cartesian per key).  Rows tie on timestamp: a right row
+at exactly left.ts MATCHES (the standard as-of contract); multiple
+right rows at the same (key, ts) resolve to a deterministic winner
+(max by the right ORDER column, then payload) so output never depends
+on shuffle order.
+
+Range join — bucket-expansion equi-join:
+
+    intervals explode into the fixed-width buckets they cover; points
+    map to one bucket; equi-join on (key, bucket); exact predicate
+    re-filter; per-pair dedup is free because a point lands in exactly
+    one bucket.
+
+Bucket width trades fan-out (long intervals explode into many buckets)
+against candidate density; ``max_buckets_per_interval`` is the explicit
+ceiling against degenerate intervals (raise, never truncate silently).
+Both joins are exact; DuckDB twins in tests/test_temporal.py (native
+ASOF JOIN + inequality join) pin them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right payload at or
+    before its timestamp (NULL payload when none exists).
+
+    ``ts_col`` must be numeric (epoch seconds/micros) in both inputs —
+    cast timestamps up front; ``tolerance`` (same unit) drops matches
+    older than ``left.ts - tolerance``, the pandas ``merge_asof``
+    contract.  Output = all left columns + ``payload_cols`` +
+    ``matched_ts``.
+    """
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
+    lcols = left.columns
+    clash = set(payload_cols) & set(lcols)
+    if clash:
+        raise ValueError(f"payload columns collide with left columns: {sorted(clash)}")
+
+    # The right row travels as ONE struct so the window fold picks a
+    # consistent whole row — per-column last(ignorenulls) would splice
+    # fields from different right rows whenever a payload field is NULL.
+    r_pay = F.struct(
+        F.col(ts_col).cast("long").alias("matched_ts"),
+        *[F.col(c) for c in payload_cols],
+    )
+    r_tag = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.lit(1).alias("_side"),
+        r_pay.alias("_pay"),
+    )
+    l_tag = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(r_tag.schema["_pay"].dataType).alias("_pay"),
+        F.struct(*lcols).alias("_lrow"),
+    )
+    r_tag = r_tag.withColumn(
+        "_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType)
+    )
+    u = l_tag.unionByName(r_tag)
+
+    # Right rows sort BEFORE the left rows they may serve at equal ts
+    # (_side desc); equal-(key, ts) right rows order by the payload
+    # struct, so the LAST right row in window order is a unique winner
+    # regardless of partitioning.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.desc("_side"), F.asc("_pay"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    served = u.select(
+        "_side",
+        "_lrow",
+        "_ts",
+        F.last("_pay", ignorenulls=True).over(w).alias("_hit"),
+    ).where(F.col("_side") == 0)
+
+    if tolerance is not None:
+        in_tol = F.col("_hit.matched_ts") >= F.col("_ts") - F.lit(tolerance)
+        served = served.withColumn("_hit", F.when(in_tol, F.col("_hit")))
+    return served.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        F.col("_hit.matched_ts").alias("matched_ts"),
+        *[F.col(f"_hit.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def range_join_points(
+    intervals: DataFrame,
+    points: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_width: int = 3600,
+    max_buckets_per_interval: int = 100_000,
+) -> DataFrame:
+    """Inner join: interval rows × point rows with
+    ``start <= ts < end`` and equal keys (half-open, the validity-
+    interval convention).  All three columns numeric (epoch units).
+
+    Shape: intervals explode into the fixed-width buckets they cover;
+    points land in exactly one bucket; equi-join on (key, bucket); the
+    exact predicate prunes bucket-edge false candidates.  No dedup agg
+    is needed — each (interval, point) pair meets in exactly one bucket.
+    Output = all interval columns + all point columns (names must not
+    collide, except ``key_col`` which is emitted once).
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    shared = (set(intervals.columns) & set(points.columns)) - {key_col}
+    if shared:
+        raise ValueError(f"column collision between sides: {sorted(shared)}")
+
+    n_buckets = (
+        F.floor((F.col(end_col).cast("long") - F.lit(1)) / F.lit(bucket_width))
+        - F.floor(F.col(start_col).cast("long") / F.lit(bucket_width))
+        + F.lit(1)
+    )
+    # The ceiling rides INSIDE the exploded expression (assert_true
+    # guarding the sequence) — enforced during the same scan that
+    # explodes the buckets, unprunable because the result depends on it.
+    chk = F.assert_true(
+        n_buckets <= F.lit(max_buckets_per_interval),
+        F.lit(
+            "an interval covers more than max_buckets_per_interval="
+            f"{max_buckets_per_interval} buckets; raise the ceiling "
+            "or widen bucket_width"
+        ),
+    )
+    seq = F.sequence(
+        F.floor(F.col(start_col).cast("long") / F.lit(bucket_width)),
+        F.floor((F.col(end_col).cast("long") - F.lit(1)) / F.lit(bucket_width)),
+    )
+    iv_b = intervals.where(F.col(end_col) > F.col(start_col)).select(
+        "*",
+        F.explode(F.when(chk.isNull(), seq)).alias("_bucket"),
+    )
+    pt_b = points.withColumn(
+        "_bucket", F.floor(F.col(ts_col).cast("long") / F.lit(bucket_width))
+    )
+    joined = iv_b.join(pt_b, [key_col, "_bucket"]).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bucket")
