@@ -503,6 +503,23 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): deterministic random-walk corpus over
+        # the concept co-occurrence graph (DeepWalk-style input for graph
+        # embeddings).  Exactness pinned by tests/test_walks.py (python
+        # replay of the md5 hash-argmin picks).
+        from neo4j_export_tool_spark.operators.walks import random_walks
+
+        def _walks_run():
+            m_df = doc_mentions(load_documents(spark, sf_dir))
+            w_edges = cooccurrence_edges(
+                m_df, "doc_id", "concept", max_concepts_per_doc=256
+            )
+            _force(random_walks(w_edges, "c1", "c2", walk_len=5, walks_per_node=1))
+
+        timings["random_walks"] = round(
+            min(_timed(_walks_run) for _ in range(2)), 3
+        )
+
         # perf-only lanes (round 6): temporal joins over the events table.
         # As-of: every event picks up the latest prior 'purchase' by the
         # same user (union+window shape, one shuffle).  Range: events
