@@ -514,7 +514,15 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             w_edges = cooccurrence_edges(
                 m_df, "doc_id", "concept", max_concepts_per_doc=256
             )
-            _force(random_walks(w_edges, "c1", "c2", walk_len=5, walks_per_node=1))
+            # co-occurrence edges are canonicalized c1 < c2; the graph is
+            # undirected, so symmetrize before walking (else every walk
+            # would only ascend concept ids and dead-end immediately)
+            sym = w_edges.select("c1", "c2").unionByName(
+                w_edges.select(
+                    _F.col("c2").alias("c1"), _F.col("c1").alias("c2")
+                )
+            )
+            _force(random_walks(sym, "c1", "c2", walk_len=5, walks_per_node=1))
 
         timings["random_walks"] = round(
             min(_timed(_walks_run) for _ in range(2)), 3

@@ -297,6 +297,12 @@ def ivf_topk(
     """
     import numpy as np
 
+    item_id_t = next(
+        f.dataType.simpleString() for f in items.schema if f.name == id_col
+    )
+    query_id_t = next(
+        f.dataType.simpleString() for f in queries.schema if f.name == id_col
+    )
     base = items.select(F.col(id_col).alias("item_id"), as_double_array(F.col(vec_col)).alias("v"))
     # the zero-shuffle assignment removed the parallelism the old window
     # shuffle provided by accident — spread the (often single-file) scan
@@ -314,7 +320,8 @@ def ivf_topk(
     if not first:
         base.unpersist()
         return items.sparkSession.createDataFrame(
-            [], "query_id long, rank int, item_id long, cosine double"
+            [],
+            f"query_id {query_id_t}, rank int, item_id {item_id_t}, cosine double",
         )
     # fewer items than requested cells → shrink the quantizer
     n_cells = min(n_cells, len(first))
@@ -402,7 +409,8 @@ def ivf_topk(
         return fn
 
     items_cells = base.mapInPandas(
-        _assign_items(centroids), "item_id long, i_vec array<double>, cell int"
+        _assign_items(centroids),
+        f"item_id {item_id_t}, i_vec array<double>, cell int",
     )
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("q_vec"))
 
@@ -431,7 +439,7 @@ def ivf_topk(
 
     q_cells = q.mapInPandas(
         _assign_probes(centroids, n_probe),
-        "query_id long, q_vec array<double>, cell int",
+        f"query_id {query_id_t}, q_vec array<double>, cell int",
     )
     scored = q_cells.join(items_cells, "cell")
     if exclude_self:

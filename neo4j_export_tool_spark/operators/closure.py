@@ -59,7 +59,11 @@ def transitive_closure(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=False) if use_local_checkpoint else e.persist()
+    # use_local_checkpoint=False keeps pure lineage (edge scan recomputed
+    # per round) — debugging/small-graph mode; persist() would leak cached
+    # blocks past this lazy function's lifetime.
+    if use_local_checkpoint:
+        e = e.localCheckpoint(eager=False)
 
     frontier = e.withColumn("hops", F.lit(1))
     known = frontier

@@ -463,12 +463,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     scan = None
 
-    while pos + 4 <= end:
+    while pos + 2 <= end:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip to the final 0xFF of the run
+        while pos + 2 <= end and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > end:
+            raise ValueError("truncated JPEG marker")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn:
+            pos += 2  # standalone, no length field
+            continue
+        if pos + 4 > end:
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         if pos + 2 + seglen > end:
             raise ValueError("truncated JPEG segment")

@@ -15,8 +15,10 @@ a time).  Lineage is cut per round with ``localCheckpoint`` exactly like
 accrete plans.  Per-round driver work is one ``count()`` (the fixpoint
 test) — no edge or node data is collected.
 
-``core_numbers`` (the full decomposition) runs ``k_core`` for k = 1, 2, …
-until the core empties; cost is Σ_k peel-depth(k) rounds.  Exact and
+``core_numbers`` (the full decomposition) peels k = 1, 2, … until the
+core empties, seeding each k's peel from the (k-1)-core's edges (the
+k-core is a subgraph of the (k-1)-core, so nothing is ever re-peeled);
+cost is Σ_k incremental-peel-depth(k) rounds.  Exact and
 partition-independent (integer degrees, equi-joins), but at 10⁹-node
 scale prefer filtering at a single operating k via ``k_core`` — the
 decomposition's sequential k-sweep is the textbook trade, stated here
@@ -47,17 +49,13 @@ def _degrees(und: DataFrame) -> DataFrame:
     )
 
 
-def k_core(
-    edges: DataFrame, a_col: str, b_col: str, k: int, max_rounds: int = 1000
-) -> DataFrame:
-    """(node) — members of the k-core of the undirected simple graph."""
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    und = _canonical(edges, a_col, b_col).localCheckpoint(eager=False)
+def _peel(und: DataFrame, k: int, max_rounds: int) -> DataFrame:
+    """Peel an already-canonical edge set to its k-core's edges (possibly
+    empty).  Input must be checkpointed/canonical; output is checkpointed."""
     n_edges = und.count()
     for _ in range(max_rounds):
         if n_edges == 0:
-            break
+            return und
         keep = _degrees(und).where(F.col("deg") >= k).select("node")
         pruned = (
             und.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
@@ -66,13 +64,20 @@ def k_core(
         )
         n_pruned = pruned.count()
         if n_pruned == n_edges:
-            return _degrees(und).select("node")  # fixpoint: all degrees ≥ k
+            return und  # fixpoint: all degrees >= k
         und, n_edges = pruned, n_pruned
-    if n_edges != 0:
-        raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
-    return edges.sparkSession.createDataFrame([], "node string").select(
-        F.col("node").cast(dict(edges.dtypes)[a_col])
-    )
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
+def k_core(
+    edges: DataFrame, a_col: str, b_col: str, k: int, max_rounds: int = 1000
+) -> DataFrame:
+    """(node) — members of the k-core of the undirected simple graph."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = _canonical(edges, a_col, b_col).localCheckpoint(eager=False)
+    core = _peel(und, k, max_rounds)
+    return _degrees(core).select("node")
 
 
 def core_numbers(
@@ -80,15 +85,19 @@ def core_numbers(
 ) -> DataFrame:
     """(node, core) — the largest k for which each node sits in the k-core.
 
-    Sequential k-sweep over ``k_core`` (exact; cost stated in the module
-    docstring).  Nodes beyond ``max_core`` are reported AT ``max_core``
+    Incremental k-sweep: each k peels the previous core's edges (exact;
+    cost stated in the module docstring).  Nodes beyond ``max_core`` are reported AT ``max_core``
     and the cap is the caller's explicit trade, mirroring the candidate
     caps in `operators/dedup.py`.
     """
-    und = _canonical(edges, a_col, b_col).localCheckpoint(eager=False)
-    result = _degrees(und).select("node", F.lit(0).alias("core"))
+    cur = _canonical(edges, a_col, b_col).localCheckpoint(eager=False)
+    result = _degrees(cur).select("node", F.lit(0).alias("core"))
     for k in range(1, max_core + 1):
-        members = k_core(und, "u", "v", k)
+        # k-core(k) is a subgraph of k-core(k-1): peel each k from the
+        # PREVIOUS core's edges, never restarting from the full edge set
+        # (and never re-canonicalizing already-canonical edges)
+        cur = _peel(cur, k, max_rounds=1000)
+        members = _degrees(cur).select("node")
         if members.isEmpty():
             return result
         result = (

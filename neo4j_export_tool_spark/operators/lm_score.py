@@ -58,9 +58,11 @@ class BigramLM(NamedTuple):
 def _doc_bigrams(
     docs: DataFrame, id_col: str, text_col: str, vocab: DataFrame
 ) -> DataFrame:
-    """(doc id, prev, next) bigram stream with OOV mapped to <unk>.
+    """(_doc, _pos, prev, next) bigram stream with OOV mapped to <unk>.
 
     One explode, one broadcast vocab join, one lead over (doc, pos).
+    ``_pos`` (the prev token's position) rides along so scoring can fold
+    log-probs in a partitioning-independent order.
     """
     toks = docs.select(
         F.col(id_col).alias("_doc"),
@@ -81,6 +83,7 @@ def _doc_bigrams(
     return (
         mapped.select(
             "_doc",
+            "_pos",
             F.col("term").alias("prev"),
             F.lead("term").over(w).alias("next"),
         )
@@ -134,31 +137,7 @@ def score_docs(
     The double fold is over a sorted (pos asc) array, so the sum is
     independent of partitioning.
     """
-    toks = docs.select(
-        F.col(id_col).alias("_doc"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
-    )
-    mapped = toks.join(
-        F.broadcast(lm.vocab.select(F.col("term").alias("_tok"))).withColumn(
-            "_hit", F.lit(True)
-        ),
-        "_tok",
-        "left",
-    ).select(
-        "_doc",
-        "_pos",
-        F.when(F.col("_hit"), F.col("_tok")).otherwise(F.lit(UNK)).alias("term"),
-    )
-    w = Window.partitionBy("_doc").orderBy("_pos")
-    big = (
-        mapped.select(
-            "_doc",
-            "_pos",
-            F.col("term").alias("prev"),
-            F.lead("term").over(w).alias("next"),
-        )
-        .where(F.col("next").isNotNull())
-    )
+    big = _doc_bigrams(docs, id_col, text_col, lm.vocab)
     scored = (
         big.join(lm.bigrams, ["prev", "next"], "left")
         .join(lm.contexts, ["prev"], "left")

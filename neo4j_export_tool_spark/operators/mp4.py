@@ -339,7 +339,10 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict:
             raise ValueError("truncated hdlr")
         handler = struct.unpack_from(">4s", buf, p + 4)[0].decode("ascii", "replace")
 
-    skids = _children(buf, *_children(buf, *mkids[b"minf"])[b"stbl"])
+    minf_kids = _children(buf, *mkids[b"minf"])
+    if b"stbl" not in minf_kids:
+        raise ValueError("minf missing stbl")
+    skids = _children(buf, *minf_kids[b"stbl"])
 
     codec = ""
     sd_w = sd_h = 0
@@ -410,8 +413,8 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict:
     for e_idx, (first, per_chunk, _desc) in enumerate(stsc):
         last = stsc[e_idx + 1][0] - 1 if e_idx + 1 < len(stsc) else n_chunks
         for c in range(first, last + 1):
-            if c > n_chunks:
-                raise ValueError("stsc refers past stco")
+            if c < 1 or c > n_chunks:  # chunk numbers are 1-based per spec
+                raise ValueError("stsc refers outside stco")
             pos = chunk_offsets[c - 1]
             for _ in range(per_chunk):
                 if s >= n_samples:

@@ -185,10 +185,13 @@ def pq_encode(
                 {"item_id": pdf["item_id"], "codes": list(codes)}
             )
 
+    id_t = next(
+        f.dataType.simpleString() for f in items.schema if f.name == id_col
+    )
     base = items.select(
         F.col(id_col).alias("item_id"), as_double_array(F.col(vec_col)).alias("v")
     )
-    return base.mapInPandas(fn, "item_id long, codes array<int>")
+    return base.mapInPandas(fn, f"item_id {id_t}, codes array<int>")
 
 
 def pq_topk(
@@ -216,80 +219,91 @@ def pq_topk(
     import numpy as np
 
     cand = candidates_per_query or max(8 * k, 32)
+    item_id_t = next(
+        f.dataType.simpleString() for f in items.schema if f.name == id_col
+    )
+    query_id_t = next(
+        f.dataType.simpleString() for f in queries.schema if f.name == id_col
+    )
+    # lazy localCheckpoint, NOT persist/unpersist-in-finally: the returned
+    # DataFrame is lazy, so an unpersist on return would drop the cache
+    # before the caller's action ever ran and the items scan would run
+    # twice (ADC candidates + exact verify)
     base = items.select(
         F.col(id_col).alias("item_id"), as_double_array(F.col(vec_col)).alias("v")
-    ).persist()
-    try:
-        books = codebooks or train_pq(base, "v", "item_id", m, n_codes, n_iters)
-        m = len(books)
-        sub_d = len(books[0][0])
-        coded = pq_encode(base, "v", "item_id", books)
+    ).localCheckpoint(eager=False)
+    books = codebooks or train_pq(base, "v", "item_id", m, n_codes, n_iters)
+    m = len(books)
+    sub_d = len(books[0][0])
+    coded = pq_encode(base, "v", "item_id", books)
 
-        q_rows = queries.select(
-            F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("q_vec")
-        ).collect()
-        if not q_rows:
-            return queries.sparkSession.createDataFrame(
-                [], "query_id long, rank int, item_id long, cosine double"
-            )
-        q_ids = [r.query_id for r in q_rows]
-        Q = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in q_rows])
-        # LUT[q, j, c] = q_j · codebook[j][c]  (dot-product ADC)
-        lut = np.stack(
-            [Q[:, j * sub_d : (j + 1) * sub_d] @ np.asarray(books[j]).T for j in range(m)],
-            axis=1,
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("q_vec")
+    ).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"query_id {query_id_t}, rank int, "
+            f"item_id {item_id_t}, cosine double",
         )
+    q_ids = [r.query_id for r in q_rows]
+    Q = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in q_rows])
+    # LUT[q, j, c] = q_j · codebook[j][c]  (dot-product ADC)
+    lut = np.stack(
+        [Q[:, j * sub_d : (j + 1) * sub_d] @ np.asarray(books[j]).T for j in range(m)],
+        axis=1,
+    )
 
-        def adc(batches):
-            import pandas as pd
+    def adc(batches):
+        import pandas as pd
 
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
-                # scores[q, n] = Σ_j LUT[q, j, codes[n, j]]
-                scores = lut[:, np.arange(m)[:, None], codes.T].sum(axis=1)
-                ids = pdf["item_id"].to_numpy()
-                top = min(cand, scores.shape[1])
-                # first-index-on-ties partial selection per query
-                sel = np.argsort(-scores, axis=1, kind="stable")[:, :top]
-                out = {
-                    "query_id": np.repeat(q_ids, top),
-                    "item_id": ids[sel].reshape(-1),
-                    "adc": np.take_along_axis(scores, sel, axis=1).reshape(-1),
-                }
-                yield pd.DataFrame(out)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            # scores[q, n] = Σ_j LUT[q, j, codes[n, j]]
+            scores = lut[:, np.arange(m)[:, None], codes.T].sum(axis=1)
+            ids = pdf["item_id"].to_numpy()
+            top = min(cand, scores.shape[1])
+            # first-index-on-ties partial selection per query
+            sel = np.argsort(-scores, axis=1, kind="stable")[:, :top]
+            out = {
+                "query_id": np.repeat(q_ids, top),
+                "item_id": ids[sel].reshape(-1),
+                "adc": np.take_along_axis(scores, sel, axis=1).reshape(-1),
+            }
+            yield pd.DataFrame(out)
 
-        cands = coded.mapInPandas(adc, "query_id long, item_id long, adc double")
-        if exclude_self:
-            cands = cands.filter(F.col("query_id") != F.col("item_id"))
-        wa = Window.partitionBy("query_id").orderBy(
-            F.col("adc").desc(), F.col("item_id")
+    cands = coded.mapInPandas(
+        adc, f"query_id {query_id_t}, item_id {item_id_t}, adc double"
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("query_id") != F.col("item_id"))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("item_id")
+    )
+    pruned = (
+        cands.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= cand)
+        .select("query_id", "item_id")
+    )
+    qdf = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(F.col(vec_col)).alias("q_vec"),
         )
-        pruned = (
-            cands.withColumn("r", F.row_number().over(wa))
-            .filter(F.col("r") <= cand)
-            .select("query_id", "item_id")
-        )
-        qdf = F.broadcast(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                as_double_array(F.col(vec_col)).alias("q_vec"),
-            )
-        )
-        exact = (
-            F.broadcast(pruned)
-            .join(base.withColumnRenamed("v", "i_vec"), "item_id")
-            .join(qdf, "query_id")
-            .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("i_vec")))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("item_id")
-        )
-        return (
-            exact.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "item_id", "cosine")
-        )
-    finally:
-        base.unpersist()
+    )
+    exact = (
+        F.broadcast(pruned)
+        .join(base.withColumnRenamed("v", "i_vec"), "item_id")
+        .join(qdf, "query_id")
+        .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("i_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cosine")
+    )

@@ -85,6 +85,16 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
     n_docs, avgdl = stats.first()
+    if not n_docs:  # empty corpus → empty result, not float(None)
+        d_t = next(
+            f.dataType.simpleString() for f in docs.schema if f.name == doc_id
+        )
+        q_t = next(
+            f.dataType.simpleString() for f in queries.schema if f.name == query_id
+        )
+        return docs.sparkSession.createDataFrame(
+            [], f"query {q_t}, doc {d_t}, score double, rank int"
+        )
 
     term_df = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")

@@ -59,7 +59,13 @@ def random_walks(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
-    e = e.localCheckpoint(eager=False) if use_local_checkpoint else e.persist()
+    # use_local_checkpoint=False keeps pure lineage (the edge scan is
+    # recomputed per round) — debugging/small-graph mode.  A persist()
+    # here would leak cached blocks for the session: the returned
+    # DataFrame is lazy, so there is no point at which this function
+    # could safely unpersist.
+    if use_local_checkpoint:
+        e = e.localCheckpoint(eager=False)
 
     active = (
         e.select("src")

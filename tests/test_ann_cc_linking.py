@@ -299,3 +299,11 @@ def test_hyperplane_signature_matches_gemm_table(spark):
     assert sorted(map(tuple, expr.collect())) == sorted(
         map(tuple, gemm.collect())
     )
+
+
+def test_ivf_string_ids_supported(spark):
+    rows = [(f"e-{i}", [float((i * 5 + j) % 7) for j in range(6)]) for i in range(15)]
+    df = spark.createDataFrame(rows, "uri string, emb array<double>")
+    out = ivf_topk(df, df.limit(2), "emb", "uri", k=3, n_cells=2, n_probe=2)
+    got = out.collect()
+    assert got and all(isinstance(r.item_id, str) and isinstance(r.query_id, str) for r in got)

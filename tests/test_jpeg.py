@@ -236,3 +236,14 @@ GOLDEN_PAYLOAD_SHA = (
 GOLDEN_PIXELS_SHA = (
     "916395746f9a250c15fceb7069a8ec136b3050bafabae48a7c8c5db66a78436d"
 )
+
+
+def test_fill_bytes_and_standalone_markers_are_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker,
+    and TEM (0xFF01) is a standalone marker with no length field — both
+    legal in foreign encoders' output."""
+    p = encode_jpeg(8, 8, bytes([120] * 64), quality=50, grayscale=True)
+    base = decode_jpeg(p)
+    # inject two fill bytes + a TEM marker right after SOI (before DQT)
+    padded = p[:2] + b"\xff\xff" + b"\xff\x01" + p[2:]
+    assert decode_jpeg(padded) == base

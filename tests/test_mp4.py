@@ -238,3 +238,51 @@ def test_invalid_payloads_are_skipped_not_fatal(spark):
     out = extract_video_samples(media).collect()
     assert {r.media_id for r in out} == {"ok"}
     assert len(out) == 3
+
+
+def _mini_payload(include_stbl: bool = True, stsc_first: int = 1) -> bytes:
+    """Minimal container for malformed-structure regression tests: one
+    sample 'AAAA' in one chunk, optionally omitting stbl or corrupting
+    stsc's (1-based) first_chunk."""
+    ftyp = _b(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat = _b(b"mdat", b"AAAA")
+    first = len(ftyp) + 8
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 600, 600)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"vide") + b"\x00" * 13)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 1, 600))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", stsc_first, 1, 1, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">III", 0, 1, 4))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, first))
+    stbl = _b(b"stbl", stts + stsc + stsz + stco)
+    minf = _b(b"minf", _full(b"vmhd", 0, 1, b"\x00" * 8)
+              + (stbl if include_stbl else b""))
+    matrix = struct.pack(">9I", 1 << 16, 0, 0, 0, 1 << 16, 0, 0, 0, 0x40000000)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, 600) + b"\x00" * 8
+        + struct.pack(">4H", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", 8 << 16, 8 << 16),
+    )
+    trak = _b(b"trak", tkhd + _b(b"mdia", mdhd + hdlr + minf))
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 600, 600)
+        + struct.pack(">IHH", 1 << 16, 0x100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 1 << 16, 0, 0, 0, 1 << 16, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    return ftyp + mdat + _b(b"moov", mvhd + trak)
+
+
+def test_missing_stbl_raises_valueerror_not_keyerror():
+    # the documented skip-invalid contract catches ValueError — a KeyError
+    # here would crash the whole Spark lane on one malformed container
+    assert demux_samples(_mini_payload())[0]["data"] == b"AAAA"  # sane base
+    with pytest.raises(ValueError, match="stbl"):
+        parse_mp4(_mini_payload(include_stbl=False))
+
+
+def test_stsc_first_chunk_zero_raises():
+    with pytest.raises(ValueError, match="stsc"):
+        demux_samples(_mini_payload(stsc_first=0))

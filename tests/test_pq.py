@@ -105,3 +105,11 @@ def test_exclude_self_and_k(spark):
     assert all(len(v) == 5 for v in by_q.values())
     assert all([x.rank for x in sorted(v, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
                for v in by_q.values())
+
+
+def test_string_ids_supported(spark):
+    rows = [(f"doc-{i}", [float((i * 7 + j * 3) % 5) for j in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "uri string, emb array<double>")
+    out = pq_topk(df, df.limit(2), "emb", "uri", k=3, m=2, n_codes=4, n_iters=1)
+    got = out.collect()
+    assert got and all(isinstance(r.item_id, str) and isinstance(r.query_id, str) for r in got)

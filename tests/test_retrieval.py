@@ -119,3 +119,12 @@ def test_postings_shape(spark):
     d = spark.createDataFrame([(1, "a b a")], "id long, text string")
     rows = {(r.doc, r.term): (r.tf, r.dl) for r in build_postings(d, "id", "text").collect()}
     assert rows == {(1, "a"): (2, 3), (1, "b"): (1, 3)}
+
+
+def test_empty_corpus_returns_empty_not_crash(spark):
+    d = spark.createDataFrame([], "id long, text string")
+    q = spark.createDataFrame([(1, "a")], "qid long, qtext string")
+    out = bm25_topk(d, q, doc_id="id", doc_text="text",
+                    query_id="qid", query_text="qtext", k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["query", "doc", "score", "rank"]
