@@ -1,0 +1,75 @@
+"""Deterministic label-propagation community detection (LPA).
+
+The standard cheap community detector over the derived concept graph
+(after `operators/triangles.py` co-occurrence projection): each node
+repeatedly adopts the most frequent label among its neighbors.  Classic
+LPA breaks ties randomly and updates asynchronously — both
+irreproducible.  This variant is fully deterministic: SYNCHRONOUS
+rounds (every node updates from the same previous labeling) and ties
+broken by the smallest label (then the algorithm is a pure function of
+the graph, independent of partitioning and engine — an independent
+python replay reproduces it exactly, tests/test_communities.py).
+
+Per round: one equi-join of the (node, label) table to the symmetrized
+edge list, one (node, label) count agg, one per-node argmax via
+``min(struct(-count, label))`` (the struct makes the tie-break part of
+the ordering), lineage cut with localCheckpoint — the CC/PageRank loop
+discipline.  Labels start as the node ids, so label values stay in the
+node-id domain and the final (node, community) output is stable across
+runs.
+
+Synchronous LPA on bipartite-ish structures can oscillate 2-cycles;
+``n_iters`` is therefore a fixed round count (the common practical
+choice — DeepWalk-adjacent pipelines run 3-10 rounds), not a
+convergence loop that could never terminate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+    n_iters: int = 5,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(node, community) after ``n_iters`` synchronous LPA rounds on the
+    undirected simple graph (isolated self-loop-only nodes keep their own
+    id as community)."""
+    if n_iters < 0:
+        raise ValueError("n_iters must be >= 0")
+    und = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    if use_local_checkpoint:
+        sym = sym.localCheckpoint(eager=False)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    for _ in range(n_iters):
+        if use_local_checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+        neigh = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "community")
+        counts = neigh.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = counts.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("community").alias("l"))
+            ).alias("_m")
+        ).select("node", F.col("_m.l").alias("community"))
+    return labels
