@@ -528,6 +528,54 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             min(_timed(_walks_run) for _ in range(2)), 3
         )
 
+        # perf-only lanes (round 6): skip-gram pair generation + synchronous
+        # label propagation, both over the same co-occurrence graph as the
+        # walks lane.  Pair expansion is a zero-shuffle array projection
+        # (tests/test_walks.py pins a no-Exchange plan); LPA exactness is
+        # pinned by tests/test_communities.py (python replay).  The graph is
+        # materialized once OUTSIDE the timed region so each lane measures
+        # its own operator, not the shared upstream NLP.
+        from neo4j_export_tool_spark.operators.communities import (
+            label_propagation,
+        )
+        from neo4j_export_tool_spark.operators.walks import skipgram_pairs
+
+        _g_edges = cooccurrence_edges(
+            doc_mentions(load_documents(spark, sf_dir)),
+            "doc_id", "concept", max_concepts_per_doc=256,
+        ).localCheckpoint(eager=True)
+        _g_sym = _g_edges.select("c1", "c2").unionByName(
+            _g_edges.select(_F.col("c2").alias("c1"), _F.col("c1").alias("c2"))
+        )
+        _walk_corpus = random_walks(
+            _g_sym, "c1", "c2", walk_len=10, walks_per_node=2
+        ).localCheckpoint(eager=True)
+
+        timings["skipgram_pairs"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        skipgram_pairs(
+                            _walk_corpus, "path", window=2, with_counts=True
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+        timings["label_propagation"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        label_propagation(_g_edges, "c1", "c2", n_iters=4)
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lanes (round 6): temporal joins over the events table.
         # As-of: every event picks up the latest prior 'purchase' by the
         # same user (union+window shape, one shuffle).  Range: events

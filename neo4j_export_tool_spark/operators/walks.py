@@ -20,6 +20,12 @@ localCheckpoint — the CC/PageRank discipline.  Walk count =
 
 Determinism is pinned by an independent python replay of the identical
 md5 picks (tests/test_walks.py) and a repartition-equality test.
+
+``skipgram_pairs`` completes the pipeline: walks → (center, context)
+training pairs for a skip-gram embedding model.  It is a pure
+projection (nested array higher-order functions, zero Exchange until
+the optional count aggregation) — the pair explosion happens inside
+whole-stage codegen on each walk row, never via a self-join.
 """
 
 from __future__ import annotations
@@ -109,3 +115,48 @@ def random_walks(
             F.concat("path", F.array("_next")).alias("path"),
         )
     return done.unionByName(active).select("walk_id", "start", "path")
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    path_col: str = "path",
+    window: int = 2,
+    with_counts: bool = False,
+) -> DataFrame:
+    """Skip-gram training pairs from walk paths: one ``(center,
+    context)`` row per ordered pair of positions ``(i, j)`` with
+    ``j != i`` and ``|j - i| <= window`` (both directions, the standard
+    skip-gram context).  With ``with_counts=True`` the pairs are
+    aggregated to ``(center, context, n)`` — the frequency table an
+    embedding trainer consumes.
+
+    Scale shape: the pair expansion is a pure array projection (indexed
+    structs + nested transform/filter, all JVM-side in whole-stage
+    codegen) followed by one explode — ZERO shuffles for the raw-pair
+    form.  A self-join formulation would shuffle the exploded positions
+    table twice; this never shuffles at all.  Per-row cost is
+    O(len(path)^2) element ops, bounded by walk_len (typically 5-40).
+    Null/empty paths yield no pairs.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    indexed = F.expr(
+        f"transform({path_col}, (x, j) -> named_struct('x', x, 'j', j))"
+    )
+    pairs = F.expr(
+        "flatten(transform(_ix, c -> "
+        "  transform("
+        f"    filter(_ix, t -> t.j != c.j AND abs(t.j - c.j) <= {int(window)}),"
+        "    t -> named_struct('center', c.x, 'context', t.x))))"
+    )
+    out = (
+        walks.where(F.col(path_col).isNotNull())
+        .select(indexed.alias("_ix"))
+        .select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.center").alias("center"), F.col("_p.context").alias("context"))
+    )
+    if with_counts:
+        out = out.groupBy("center", "context").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    return out

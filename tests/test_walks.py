@@ -8,7 +8,7 @@ import hashlib
 
 import pytest
 
-from neo4j_export_tool_spark.operators.walks import random_walks
+from neo4j_export_tool_spark.operators.walks import random_walks, skipgram_pairs
 
 
 def _h60(key: str) -> int:
@@ -92,3 +92,83 @@ def test_validation(spark):
         random_walks(df, "s", "d", walk_len=0)
     with pytest.raises(ValueError):
         random_walks(df, "s", "d", walks_per_node=0)
+
+
+# ---------------------------------------------------------------- skip-gram
+
+
+def _py_skipgram(paths, window):
+    pairs = []
+    for path in paths:
+        if path is None:
+            continue
+        for i, cx in enumerate(path):
+            for j, tx in enumerate(path):
+                if j != i and abs(j - i) <= window:
+                    pairs.append((cx, tx))
+    return sorted(pairs)
+
+
+def _spark_skipgram(spark, paths, window, **kw):
+    df = spark.createDataFrame([(p,) for p in paths], "path array<string>")
+    out = skipgram_pairs(df, "path", window=window, **kw)
+    return out
+
+
+def test_skipgram_closed_form(spark):
+    got = sorted(
+        (r.center, r.context)
+        for r in _spark_skipgram(spark, [["a", "b", "c"]], 1).collect()
+    )
+    assert got == [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+
+
+def test_skipgram_matches_python_replay(spark):
+    paths = [
+        [f"n{(i * k + 3) % 9}" for i in range(1 + k % 6)] for k in range(12)
+    ]
+    for w in (1, 2, 4):
+        got = sorted(
+            (r.center, r.context)
+            for r in _spark_skipgram(spark, paths, w).collect()
+        )
+        assert got == _py_skipgram(paths, w)
+
+
+def test_skipgram_counts_aggregate(spark):
+    paths = [["a", "b"], ["a", "b"], ["b", "a"]]
+    got = {
+        (r.center, r.context): r.n
+        for r in _spark_skipgram(spark, paths, 1, with_counts=True).collect()
+    }
+    assert got == {("a", "b"): 3, ("b", "a"): 3}
+
+
+def test_skipgram_degenerate_paths(spark):
+    assert _spark_skipgram(spark, [["solo"], [], None], 2).count() == 0
+
+
+def test_skipgram_raw_pairs_plan_has_no_exchange(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],)], "path array<string>")
+    plan = skipgram_pairs(df, "path", window=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_skipgram_validation(spark):
+    df = spark.createDataFrame([(["a"],)], "path array<string>")
+    with pytest.raises(ValueError):
+        skipgram_pairs(df, "path", window=0)
+
+
+def test_skipgram_end_to_end_over_walks(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]
+    walks = random_walks(
+        spark.createDataFrame(edges, "s string, d string"), "s", "d",
+        walk_len=4, walks_per_node=1,
+    )
+    pairs = skipgram_pairs(walks, "path", window=2, with_counts=True)
+    rows = pairs.collect()
+    assert rows and all(r.n >= 1 and r.center != "" for r in rows)
+    # every pair's nodes come from the graph's vocabulary
+    vocab = {"a", "b", "c"}
+    assert all(r.center in vocab and r.context in vocab for r in rows)
