@@ -425,10 +425,14 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
-        # perf-only lane (round 6): concept co-occurrence projection of the
-        # mention graph + exact per-node triangle counts (degree-ordered
-        # orientation).  Exactness pinned by tests/test_triangles.py DuckDB
-        # twins; this keeps the derived-graph analytics cost visible.
+        # Derived concept graph, shared by the four graph-analytics lanes
+        # below (triangles, walks, skip-gram, label propagation).  Built
+        # and materialized ONCE, outside every timed region, so each lane
+        # measures its own operator rather than the common upstream NLP
+        # (lane semantics changed this round: triangles/walks previously
+        # timed the upstream too).  Co-occurrence edges are canonicalized
+        # c1 < c2; walking needs the symmetrized view (else every walk
+        # would only ascend concept ids and dead-end immediately).
         from neo4j_export_tool_spark.operators.triangles import (
             cooccurrence_edges,
             triangle_counts,
@@ -438,15 +442,23 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             load_documents,
         )
 
-        def _tri_run():
-            m_df = doc_mentions(load_documents(spark, sf_dir))
-            edges = cooccurrence_edges(
-                m_df, "doc_id", "concept", max_concepts_per_doc=256
-            )
-            _force(triangle_counts(edges, "c1", "c2"))
+        _g_edges = cooccurrence_edges(
+            doc_mentions(load_documents(spark, sf_dir)),
+            "doc_id", "concept", max_concepts_per_doc=256,
+        ).localCheckpoint(eager=True)
+        _g_sym = _g_edges.select("c1", "c2").unionByName(
+            _g_edges.select(_F.col("c2").alias("c1"), _F.col("c1").alias("c2"))
+        )
 
+        # perf-only lane (round 6): exact per-node triangle counts
+        # (degree-ordered orientation) over the shared concept graph.
+        # Exactness pinned by tests/test_triangles.py DuckDB twins.
         timings["cooccur_triangles"] = round(
-            min(_timed(_tri_run) for _ in range(2)), 3
+            min(
+                _timed(lambda: _force(triangle_counts(_g_edges, "c1", "c2")))
+                for _ in range(2)
+            ),
+            3,
         )
 
         # perf-only lane (round 6): bigram-LM perplexity — train on the
@@ -504,49 +516,35 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
         )
 
         # perf-only lane (round 6): deterministic random-walk corpus over
-        # the concept co-occurrence graph (DeepWalk-style input for graph
+        # the shared concept graph (DeepWalk-style input for graph
         # embeddings).  Exactness pinned by tests/test_walks.py (python
         # replay of the md5 hash-argmin picks).
         from neo4j_export_tool_spark.operators.walks import random_walks
 
-        def _walks_run():
-            m_df = doc_mentions(load_documents(spark, sf_dir))
-            w_edges = cooccurrence_edges(
-                m_df, "doc_id", "concept", max_concepts_per_doc=256
-            )
-            # co-occurrence edges are canonicalized c1 < c2; the graph is
-            # undirected, so symmetrize before walking (else every walk
-            # would only ascend concept ids and dead-end immediately)
-            sym = w_edges.select("c1", "c2").unionByName(
-                w_edges.select(
-                    _F.col("c2").alias("c1"), _F.col("c1").alias("c2")
-                )
-            )
-            _force(random_walks(sym, "c1", "c2", walk_len=5, walks_per_node=1))
-
         timings["random_walks"] = round(
-            min(_timed(_walks_run) for _ in range(2)), 3
+            min(
+                _timed(
+                    lambda: _force(
+                        random_walks(
+                            _g_sym, "c1", "c2", walk_len=5, walks_per_node=1
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
         )
 
         # perf-only lanes (round 6): skip-gram pair generation + synchronous
-        # label propagation, both over the same co-occurrence graph as the
-        # walks lane.  Pair expansion is a zero-shuffle array projection
-        # (tests/test_walks.py pins a no-Exchange plan); LPA exactness is
-        # pinned by tests/test_communities.py (python replay).  The graph is
-        # materialized once OUTSIDE the timed region so each lane measures
-        # its own operator, not the shared upstream NLP.
+        # label propagation over the same shared graph.  Pair expansion is
+        # a zero-shuffle array projection (tests/test_walks.py pins a
+        # no-Exchange plan); LPA exactness is pinned by
+        # tests/test_communities.py (python replay).
         from neo4j_export_tool_spark.operators.communities import (
             label_propagation,
         )
         from neo4j_export_tool_spark.operators.walks import skipgram_pairs
 
-        _g_edges = cooccurrence_edges(
-            doc_mentions(load_documents(spark, sf_dir)),
-            "doc_id", "concept", max_concepts_per_doc=256,
-        ).localCheckpoint(eager=True)
-        _g_sym = _g_edges.select("c1", "c2").unionByName(
-            _g_edges.select(_F.col("c2").alias("c1"), _F.col("c1").alias("c2"))
-        )
         _walk_corpus = random_walks(
             _g_sym, "c1", "c2", walk_len=10, walks_per_node=2
         ).localCheckpoint(eager=True)

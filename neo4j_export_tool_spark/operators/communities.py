@@ -38,12 +38,18 @@ def label_propagation(
     use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """(node, community) after ``n_iters`` synchronous LPA rounds on the
-    undirected simple graph (isolated self-loop-only nodes keep their own
-    id as community)."""
+    undirected simple graph.  Edges are canonicalized (least, greatest)
+    before dedup, so an input containing both ``(a, b)`` and ``(b, a)``
+    still contributes ONE undirected edge (one vote per neighbor).
+    Self-loops are dropped; a node appearing only in self-loops has no
+    neighbors and is absent from the output."""
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
     und = (
-        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
         .where(F.col("a") != F.col("b"))
         .distinct()
     )

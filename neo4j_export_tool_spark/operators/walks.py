@@ -140,8 +140,9 @@ def skipgram_pairs(
     """
     if window < 1:
         raise ValueError("window must be >= 1")
-    indexed = F.expr(
-        f"transform({path_col}, (x, j) -> named_struct('x', x, 'j', j))"
+    indexed = F.transform(
+        F.col(path_col),
+        lambda x, j: F.struct(x.alias("x"), j.alias("j")),
     )
     pairs = F.expr(
         "flatten(transform(_ix, c -> "

@@ -61,8 +61,20 @@ def test_matches_python_replay(spark):
         for j in range(24)
         if i < j and (i * 19 + j * 5) % 9 < 2
     ]
+    # include reversed duplicates of some edges: one undirected edge must
+    # still mean ONE vote per neighbor (the python replay uses adjacency
+    # sets, so a double-counting implementation diverges here)
+    edges += [(b, a) for a, b in edges[::3]]
     for iters in (1, 3, 6):
         assert _spark_lpa(spark, edges, iters) == _py_lpa(edges, iters)
+
+
+def test_reversed_duplicate_edge_is_one_vote(spark):
+    # m's neighbors are {z, a}; the reversed duplicate (m, z) of (z, m)
+    # must not give z a second vote, so the tie breaks to the smaller
+    # label 'a'
+    got = _spark_lpa(spark, [("a", "m"), ("z", "m"), ("m", "z")], 1)
+    assert got["m"] == "a"
 
 
 def test_partitioning_independent(spark):

@@ -154,6 +154,17 @@ def test_skipgram_raw_pairs_plan_has_no_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_skipgram_nonidentifier_column_name(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"],)], "path array<string>"
+    ).withColumnRenamed("path", "walk path")
+    got = sorted(
+        (r.center, r.context)
+        for r in skipgram_pairs(df, "walk path", window=1).collect()
+    )
+    assert got == [("a", "b"), ("b", "a")]
+
+
 def test_skipgram_validation(spark):
     df = spark.createDataFrame([(["a"],)], "path array<string>")
     with pytest.raises(ValueError):
