@@ -535,6 +535,26 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): node2vec-biased walks (integer ladder
+        # pick; 2 extra joins + 1 window per step vs random_walks' argmin).
+        # Exactness pinned by tests/test_walks.py python replay.
+        from neo4j_export_tool_spark.operators.walks import node2vec_walks
+
+        timings["node2vec_walks"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        node2vec_walks(
+                            _g_sym, "c1", "c2", walk_len=5, walks_per_node=1,
+                            w_return=1, w_near=2, w_far=4,
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lanes (round 6): skip-gram pair generation + synchronous
         # label propagation over the same shared graph.  Pair expansion is
         # a zero-shuffle array projection (tests/test_walks.py pins a

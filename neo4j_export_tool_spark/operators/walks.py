@@ -21,6 +21,19 @@ localCheckpoint — the CC/PageRank discipline.  Walk count =
 Determinism is pinned by an independent python replay of the identical
 md5 picks (tests/test_walks.py) and a repartition-equality test.
 
+``node2vec_walks`` generalizes to the biased second-order walk of
+node2vec (Grover & Leskovec, KDD 2016).  The float-weighted pick of
+the paper (weights 1/p, 1, 1/q) is replaced by an integer-exact
+equivalent: the caller supplies INTEGER class weights ``(w_return,
+w_near, w_far)`` (node2vec's α with p = w_near/w_return and
+q = w_near/w_far, cleared of denominators), and the draw is one 60-bit
+md5 hash per (walk, step) reduced mod the total candidate weight, then
+located in the cumulative-weight ladder of the neighbors ordered by
+node id.  No floats anywhere — the walk stays a pure integer function
+of (graph, salt), bit-stable across runs, engines, and partitionings,
+which a float Gumbel/exponential race cannot guarantee (last-ulp
+``ln`` differences flip argmins).
+
 ``skipgram_pairs`` completes the pipeline: walks → (center, context)
 training pairs for a skip-gram embedding model.  It is a pure
 projection (nested array higher-order functions, zero Exchange until
@@ -113,6 +126,139 @@ def random_walks(
             "start",
             F.col("_next").alias("cur"),
             F.concat("path", F.array("_next")).alias("path"),
+        )
+    return done.unionByName(active).select("walk_id", "start", "path")
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    walk_len: int = 10,
+    walks_per_node: int = 2,
+    w_return: int = 1,
+    w_near: int = 1,
+    w_far: int = 1,
+    salt: str = "n2v",
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(walk_id, start, path) — node2vec-biased second-order walks with
+    integer class weights.
+
+    From previous node ``p`` standing at ``u``, a candidate neighbor
+    ``x`` of ``u`` weighs ``w_return`` if ``x == p``, ``w_near`` if the
+    edge ``(p, x)`` exists (distance 1 from ``p``), else ``w_far``
+    (distance 2) — node2vec's 1/p, 1, 1/q bias cleared of denominators.
+    The first hop (no previous node) is uniform.  The pick at step t of
+    walk w is ``h60(salt:w:t) mod Σweights`` located in the cumulative
+    ladder of candidates ordered by node id (binary/ASCII string
+    order), so the walk is a pure integer function of (graph, salt) —
+    the python replay in tests/test_walks.py reproduces it bit-exactly.
+    ``w_return = w_near = w_far`` degenerates to a uniform DeepWalk
+    (but NOT to ``random_walks``, whose draw is a per-neighbor
+    hash-argmin rather than a ladder pick).
+
+    Scale shape per step: one equi-join on the current node (candidate
+    expansion), one equi-join against the edge list on ``(prev, dst)``
+    (the distance-1 membership probe), and one window over ``walk_id``
+    (cumulative + total weight — same partitioning, one Exchange);
+    lineage cut per round with localCheckpoint.  Dead ends retire into
+    the result.  Weights must be positive ints; totals stay far inside
+    int64 (max degree × max weight).
+
+    Reference: the walk corpus feeds the same embedding-training surface
+    as ``random_walks``; see module docstring for the determinism
+    convention shared with ``negative_samples``.
+    """
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if min(w_return, w_near, w_far) < 1:
+        raise ValueError("class weights must be positive integers")
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    if use_local_checkpoint:
+        e = e.localCheckpoint(eager=False)
+    e_near = e.select(
+        F.col("src").alias("_psrc"), F.col("dst").alias("_pdst"),
+        F.lit(1).alias("_near"),
+    )
+
+    active = (
+        e.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("start"),
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("_i"),
+        )
+        .select(
+            F.concat("start", F.lit("#"), F.col("_i")).alias("walk_id"),
+            "start",
+            F.lit(None).cast("string").alias("prev"),
+            F.col("start").alias("cur"),
+            F.array("start").alias("path"),
+        )
+    )
+    done = active.limit(0)
+
+    from pyspark.sql import Window
+
+    for step in range(1, walk_len):
+        if use_local_checkpoint:
+            active = active.localCheckpoint(eager=False)
+            done = done.localCheckpoint(eager=False)
+        cand = (
+            active.join(e, active["cur"] == e["src"])
+            .join(
+                e_near,
+                (F.col("prev") == F.col("_psrc"))
+                & (F.col("dst") == F.col("_pdst")),
+                "left",
+            )
+            .select(
+                "walk_id", "start", "prev", "cur", "path", "dst",
+                F.when(F.col("prev").isNull(), F.lit(1))
+                .when(F.col("dst") == F.col("prev"), F.lit(int(w_return)))
+                .when(F.col("_near") == 1, F.lit(int(w_near)))
+                .otherwise(F.lit(int(w_far)))
+                .cast("long")
+                .alias("_w"),
+            )
+        )
+        by_walk = Window.partitionBy("walk_id")
+        ladder = by_walk.orderBy("dst").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        draw = (
+            shingle_hash_col(
+                F.concat(F.lit(salt + ":"), F.col("walk_id"), F.lit(f":{step}"))
+            )
+            % F.sum("_w").over(by_walk)
+        )
+        pick = (
+            cand.withColumn("_cum", F.sum("_w").over(ladder))
+            .withColumn("_r", draw)
+            .where(
+                (F.col("_r") >= F.col("_cum") - F.col("_w"))
+                & (F.col("_r") < F.col("_cum"))
+            )
+        )
+        done = done.unionByName(
+            active.join(pick.select("walk_id"), "walk_id", "left_anti")
+        )
+        active = pick.select(
+            "walk_id",
+            "start",
+            F.col("cur").alias("prev"),
+            F.col("dst").alias("cur"),
+            F.concat("path", F.array("dst")).alias("path"),
         )
     return done.unionByName(active).select("walk_id", "start", "path")
 

@@ -8,7 +8,11 @@ import hashlib
 
 import pytest
 
-from neo4j_export_tool_spark.operators.walks import random_walks, skipgram_pairs
+from neo4j_export_tool_spark.operators.walks import (
+    node2vec_walks,
+    random_walks,
+    skipgram_pairs,
+)
 
 
 def _h60(key: str) -> int:
@@ -183,3 +187,121 @@ def test_skipgram_end_to_end_over_walks(spark):
     # every pair's nodes come from the graph's vocabulary
     vocab = {"a", "b", "c"}
     assert all(r.center in vocab and r.context in vocab for r in rows)
+
+
+# ---------------------------------------------------------------- node2vec
+
+
+def _py_node2vec(
+    edges, walk_len, walks_per_node, w_return=1, w_near=1, w_far=1, salt="n2v"
+):
+    eset = {(str(s), str(d)) for s, d in set(edges)}
+    adj: dict[str, list[str]] = {}
+    for s, d in eset:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    out = {}
+    for start in adj:
+        for i in range(walks_per_node):
+            wid = f"{start}#{i}"
+            path, prev, cur = [start], None, start
+            for step in range(1, walk_len):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                ws = [
+                    1 if prev is None
+                    else w_return if x == prev
+                    else w_near if (prev, x) in eset
+                    else w_far
+                    for x in nbrs
+                ]
+                r = _h60(f"{salt}:{wid}:{step}") % sum(ws)
+                cum = 0
+                for x, w in zip(nbrs, ws):
+                    cum += w
+                    if r < cum:
+                        nxt = x
+                        break
+                path.append(nxt)
+                prev, cur = cur, nxt
+            out[wid] = (start, tuple(path))
+    return out
+
+
+def _sym(edges):
+    return list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+
+
+def _spark_n2v(spark, edges, n_parts=None, **kw):
+    df = spark.createDataFrame(edges, "s string, d string")
+    if n_parts:
+        df = df.repartition(n_parts)
+    rows = node2vec_walks(df, "s", "d", **kw).collect()
+    return {r.walk_id: (r.start, tuple(r.path)) for r in rows}
+
+
+def test_node2vec_matches_python_replay(spark):
+    edges = _sym(
+        (f"n{i}", f"n{(i * 7 + 3) % 13}") for i in range(13)
+        if f"n{i}" != f"n{(i * 7 + 3) % 13}"
+    )
+    edges += _sym([("n1", "n5"), ("n2", "n9"), ("n4", "n11")])
+    for kw in (
+        dict(w_return=1, w_near=1, w_far=1),
+        dict(w_return=4, w_near=2, w_far=1),
+        dict(w_return=1, w_near=1, w_far=6),
+    ):
+        got = _spark_n2v(spark, edges, walk_len=6, walks_per_node=2, **kw)
+        assert got == _py_node2vec(edges, 6, 2, **kw)
+
+
+def test_node2vec_return_bias(spark):
+    # path graph a-b-c-d; with an overwhelming return weight the walk
+    # from 'a' must bounce a,b,a,b,... (first hop is uniform: a->b only)
+    edges = _sym([("a", "b"), ("b", "c"), ("c", "d")])
+    got = _spark_n2v(
+        spark, edges, walk_len=5, walks_per_node=1,
+        w_return=10_000, w_near=1, w_far=1,
+    )
+    assert got["a#0"] == ("a", ("a", "b", "a", "b", "a"))
+
+
+def test_node2vec_outward_bias(spark):
+    # same path graph; overwhelming w_far drives the walk outward:
+    # from b (prev=a), c is distance-2 from a, so a,b,c then d
+    edges = _sym([("a", "b"), ("b", "c"), ("c", "d")])
+    got = _spark_n2v(
+        spark, edges, walk_len=4, walks_per_node=1,
+        w_return=1, w_near=1, w_far=10_000,
+    )
+    assert got["a#0"] == ("a", ("a", "b", "c", "d"))
+
+
+def test_node2vec_dead_end_retires(spark):
+    got = _spark_n2v(spark, [("a", "b")], walk_len=5, walks_per_node=1)
+    assert got["a#0"] == ("a", ("a", "b"))
+    assert "b#0" not in got  # b has no outgoing edge, no walk starts there
+
+
+def test_node2vec_partitioning_independent(spark):
+    edges = _sym((f"n{i}", f"n{(i * 5 + 2) % 11}") for i in range(11))
+    edges = [(a, b) for a, b in edges if a != b]
+    kw = dict(walk_len=5, walks_per_node=2, w_return=3, w_near=2, w_far=1)
+    assert _spark_n2v(spark, edges, n_parts=1, **kw) == _spark_n2v(
+        spark, edges, n_parts=7, **kw
+    )
+
+
+def test_node2vec_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "s string, d string")
+    for kw in (
+        dict(walk_len=0),
+        dict(walks_per_node=0),
+        dict(w_return=0),
+        dict(w_near=-1),
+        dict(w_far=0),
+    ):
+        with pytest.raises(ValueError):
+            node2vec_walks(df, "s", "d", **kw)
