@@ -535,6 +535,25 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): link-prediction scores (CN / Jaccard /
+        # Adamic-Adar / resource allocation) over the shared concept graph
+        # — the wedge self-join cost law of the triangles lane plus the
+        # sorted-fold float aggs.  Exactness pinned by tests/test_linkpred.py
+        # (python twin; bit-equal across partitionings).
+        from neo4j_export_tool_spark.operators.linkpred import (
+            link_prediction_scores,
+        )
+
+        timings["link_prediction"] = round(
+            min(
+                _timed(
+                    lambda: _force(link_prediction_scores(_g_edges, "c1", "c2"))
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lane (round 6): node2vec-biased walks (integer ladder
         # pick; 2 extra joins + 1 window per step vs random_walks' argmin).
         # Exactness pinned by tests/test_walks.py python replay.
