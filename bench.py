@@ -601,6 +601,26 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             ),
             3,
         )
+        # perf-only lane (round 6): PMI/NPMI collocation scoring over the
+        # raw skip-gram pairs of the walk corpus (the word2phrase step of
+        # an embedding pipeline).  Exactness pinned by
+        # tests/test_collocations.py (python twin; bit-equal floats).
+        from neo4j_export_tool_spark.operators.collocations import pmi_scores
+
+        timings["pmi_collocations"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        pmi_scores(
+                            skipgram_pairs(_walk_corpus, "path", window=2),
+                            "center", "context", min_count=2,
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
         timings["label_propagation"] = round(
             min(
                 _timed(

@@ -1,0 +1,75 @@
+"""PMI / NPMI collocation scoring over co-occurrence pairs.
+
+The association measure behind word2vec-style phrase detection
+(Mikolov et al. 2013's word2phrase) and KG relation-strength scoring:
+for a pair event table (one row per observed (a, b) co-occurrence —
+e.g. the raw output of ``skipgram_pairs``, or (doc, concept) mention
+pairs), PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with probabilities
+estimated from the pair counts, and NPMI = PMI / -ln p(a,b) (Bouma
+2009), normalized to [-1, 1].
+
+Scale shape: one (a, b) count agg, two marginal aggs over the (much
+smaller) pair-count table, two equi-joins back, and ONE single-row
+broadcast crossJoin for the corpus total — a scalar, not a data-sized
+array (the ``negative_samples`` one-row-array ceiling does not apply
+to an O(1) row).  Everything else is per-row arithmetic on exact
+int64 counts, so the doubles are a pure per-row function of the
+counts — bit-identical across partitionings with no sorted-fold
+needed (there is no float aggregation at all).
+
+``min_count`` drops rare pairs AFTER counting; marginals and the
+total are computed over the unfiltered counts, so the probabilities
+are unbiased by the filter (the word2phrase convention).
+
+NPMI is NULL for a pair with n == N (sole pair type: -ln p = 0); PMI
+is still defined there.  Independent python twin in
+tests/test_collocations.py (ints exact, floats rel 1e-12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pmi_scores(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """(a, b, n, n_a, n_b, pmi, npmi) for every distinct pair with
+    ``n >= min_count``.  ``n_a``/``n_b`` are the marginal counts of the
+    left/right slots over ALL pair events (unfiltered), N their total.
+    Null-keyed rows are dropped (a null slot is a non-event).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    counts = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # reused by marginals, total, joins
+    )
+    n_a = counts.groupBy("a").agg(F.sum("n").alias("n_a"))
+    n_b = counts.groupBy("b").agg(F.sum("n").alias("n_b"))
+    total = counts.agg(F.sum("n").alias("_N"))
+    scored = (
+        counts.where(F.col("n") >= min_count)
+        .join(n_a, "a")
+        .join(n_b, "b")
+        .crossJoin(F.broadcast(total))
+    )
+    ln = lambda c: F.log(c.cast("double"))  # noqa: E731
+    pmi = ln(F.col("n")) + ln(F.col("_N")) - ln(F.col("n_a")) - ln(F.col("n_b"))
+    neg_ln_p = ln(F.col("_N")) - ln(F.col("n"))
+    return scored.select(
+        "a",
+        "b",
+        "n",
+        "n_a",
+        "n_b",
+        pmi.alias("pmi"),
+        F.when(neg_ln_p != 0.0, pmi / neg_ln_p).alias("npmi"),
+    )
