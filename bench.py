@@ -535,6 +535,37 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): personalized PageRank from the 8
+        # highest-degree concepts (entity relevance over the KG
+        # neighborhood).  Exactness pinned by tests/test_ppr.py (integer
+        # python twin, bit-equal across partitionings).
+        from neo4j_export_tool_spark.operators.pagerank import (
+            personalized_pagerank_int,
+        )
+
+        _ppr_seeds = (
+            _g_sym.groupBy(_F.col("c1").alias("s"))
+            .count()
+            .orderBy(_F.desc("count"), "s")
+            .limit(8)
+            .select("s")
+        )
+
+        timings["personalized_pagerank"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        personalized_pagerank_int(
+                            _g_sym, "c1", "c2", _ppr_seeds,
+                            seed_col="s", n_iters=5,
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lane (round 6): link-prediction scores (CN / Jaccard /
         # Adamic-Adar / resource allocation) over the shared concept graph
         # — the wedge self-join cost law of the triangles lane plus the

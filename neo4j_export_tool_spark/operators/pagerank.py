@@ -90,6 +90,115 @@ def pagerank_int(
     return ranks
 
 
+def personalized_pagerank_int(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds,
+    seed_col: str | None = None,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    base: int = 10**12,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(node, rank_int) after ``n_iters`` exact-integer PERSONALIZED
+    PageRank rounds: all teleport mass returns to the seed set instead
+    of spreading uniformly — the standard entity-relevance /
+    random-walk-with-restart measure over a KG neighborhood.
+
+    ``seeds`` is a DataFrame (``seed_col`` names the node column;
+    defaults to its first column) or a plain list/tuple of node ids.
+    Seeds outside the graph's node universe are ignored; an effectively
+    empty seed set raises ValueError.  Initial mass = ``base div |S|``
+    on each seed, 0 elsewhere; per round each seed receives
+    ``(100-damping_pct)·base div (100·|S|)`` teleport mass.  Same int64
+    arithmetic, overflow bound, localCheckpoint loop discipline, and
+    partitioning/engine independence as ``pagerank_int`` — plus one
+    (usually broadcast) seed-marker join per round.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    spark = edges.sparkSession
+    if isinstance(seeds, (list, tuple, set)):
+        seeds = spark.createDataFrame(
+            [(s,) for s in sorted(seeds)], "node string"
+        )
+        seed_col = "node"
+    if seed_col is None:
+        seed_col = seeds.columns[0]
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    marker = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .select("node", F.lit(1).alias("_seed"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(deg, "src")
+    if use_local_checkpoint:
+        e_deg = e_deg.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+        marker = marker.localCheckpoint(eager=False)
+    else:
+        e_deg = e_deg.persist()
+        nodes = nodes.persist()
+        marker = marker.persist()
+
+    s = marker.count()
+    if s == 0:
+        raise ValueError(
+            "personalized PageRank needs at least one seed inside the "
+            "graph's node universe"
+        )
+    teleport = (100 - damping_pct) * base // (100 * s)
+
+    def _with_seed(rank_df, inbound_expr):
+        return (
+            rank_df.join(marker, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("_seed") == 1, F.lit(teleport)).otherwise(0)
+                    + inbound_expr
+                ).cast("long").alias("rank_int"),
+            )
+        )
+
+    ranks = nodes.join(marker, "node", "left").select(
+        "node",
+        F.when(F.col("_seed") == 1, F.lit(base // s))
+        .otherwise(0)
+        .cast("long")
+        .alias("rank_int"),
+    )
+    for _ in range(n_iters):
+        contribs = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"rank_int * {damping_pct} div (100 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = _with_seed(
+            nodes.join(contribs, "node", "left"),
+            F.coalesce(F.col("inbound"), F.lit(0)),
+        )
+        if use_local_checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
 def degree_stats(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """(node, out_degree, in_degree) — the first thing anyone asks of a
     freshly materialized graph; one union + two keyed counts."""
