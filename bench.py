@@ -721,6 +721,37 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): interval×interval overlap join —
+        # reference-event validity windows against non-reference event
+        # windows per user (the temporal-KG validity-intersection join).
+        # Exactness pinned by tests/test_temporal.py (DuckDB inequality
+        # twin, bucket-width independence).
+        from neo4j_export_tool_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        riv = ev.where(_F.col("event_type") != ref_type).select(
+            "user_id",
+            (_F.col("ts") - 120).alias("o_start"),
+            (_F.col("ts") + 120).alias("o_end"),
+            "event_id",
+        )
+        timings["interval_overlap_events"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        interval_overlap_join(
+                            iv, riv, "user_id",
+                            "w_start", "w_end", "o_start", "o_end",
+                            bucket_width=600,
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # flagship KG end-to-end (mentions → edges → hash join), with
         # throughput accounting
         from neo4j_export_tool_spark.plans.flagship import documents_kg

@@ -143,34 +143,98 @@ def range_join_points(
     if shared:
         raise ValueError(f"column collision between sides: {sorted(shared)}")
 
-    n_buckets = (
-        F.floor((F.col(end_col).cast("long") - F.lit(1)) / F.lit(bucket_width))
-        - F.floor(F.col(start_col).cast("long") / F.lit(bucket_width))
-        + F.lit(1)
-    )
     # The ceiling rides INSIDE the exploded expression (assert_true
     # guarding the sequence) — enforced during the same scan that
     # explodes the buckets, unprunable because the result depends on it.
-    chk = F.assert_true(
-        n_buckets <= F.lit(max_buckets_per_interval),
-        F.lit(
-            "an interval covers more than max_buckets_per_interval="
-            f"{max_buckets_per_interval} buckets; raise the ceiling "
-            "or widen bucket_width"
-        ),
-    )
-    seq = F.sequence(
-        F.floor(F.col(start_col).cast("long") / F.lit(bucket_width)),
-        F.floor((F.col(end_col).cast("long") - F.lit(1)) / F.lit(bucket_width)),
-    )
-    iv_b = intervals.where(F.col(end_col) > F.col(start_col)).select(
-        "*",
-        F.explode(F.when(chk.isNull(), seq)).alias("_bucket"),
+    iv_b = _bucketed(
+        intervals, start_col, end_col, bucket_width, max_buckets_per_interval
     )
     pt_b = points.withColumn(
         "_bucket", F.floor(F.col(ts_col).cast("long") / F.lit(bucket_width))
     )
     joined = iv_b.join(pt_b, [key_col, "_bucket"]).where(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bucket")
+
+
+def _bucketed(df: DataFrame, start_col: str, end_col: str,
+              bucket_width: int, max_buckets: int) -> DataFrame:
+    """Explode valid (end > start) intervals into their covered
+    fixed-width buckets, ceiling enforced in-plan (range_join_points
+    convention)."""
+    n_buckets = (
+        F.floor((F.col(end_col).cast("long") - F.lit(1)) / F.lit(bucket_width))
+        - F.floor(F.col(start_col).cast("long") / F.lit(bucket_width))
+        + F.lit(1)
+    )
+    chk = F.assert_true(
+        n_buckets <= F.lit(max_buckets),
+        F.lit(
+            "an interval covers more than max_buckets_per_interval="
+            f"{max_buckets} buckets; raise the ceiling or widen "
+            "bucket_width"
+        ),
+    )
+    seq = F.sequence(
+        F.floor(F.col(start_col).cast("long") / F.lit(bucket_width)),
+        F.floor((F.col(end_col).cast("long") - F.lit(1)) / F.lit(bucket_width)),
+    )
+    return df.where(F.col(end_col) > F.col(start_col)).select(
+        "*",
+        F.explode(F.when(chk.isNull(), seq)).alias("_bucket"),
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int = 3600,
+    max_buckets_per_interval: int = 100_000,
+) -> DataFrame:
+    """Inner join: left interval rows × right interval rows with equal
+    keys whose half-open intervals OVERLAP (``l_start < r_end`` and
+    ``r_start < l_end``) — the temporal-KG validity-intersection join.
+    All four bound columns numeric (epoch units); merely touching
+    intervals ([0,5) and [5,9)) do NOT overlap.
+
+    Shape: BOTH sides explode into their covered fixed-width buckets
+    and equi-join on (key, bucket).  An overlapping pair shares every
+    bucket the intersection covers, so naive expansion would duplicate
+    it — instead each pair is kept only in its CANONICAL bucket, the
+    one containing ``greatest(l_start, r_start)`` (the intersection's
+    first instant, covered by both sides by definition).  Exact
+    predicate + canonical-bucket filter, zero dedup aggregation — the
+    ``range_join_points`` discipline extended to interval×interval.
+    The per-interval bucket ceiling rides in-plan via ``assert_true``
+    on both sides.  Output = all left + all right columns (names must
+    not collide, except ``key_col`` which is emitted once).
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    shared = (set(left.columns) & set(right.columns)) - {key_col}
+    if shared:
+        raise ValueError(f"column collision between sides: {sorted(shared)}")
+    lb = _bucketed(left, l_start, l_end, bucket_width, max_buckets_per_interval)
+    rb = _bucketed(right, r_start, r_end, bucket_width, max_buckets_per_interval)
+    joined = (
+        lb.join(rb, [key_col, "_bucket"])
+        .where(
+            (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        )
+        .where(
+            F.col("_bucket")
+            == F.floor(
+                F.greatest(
+                    F.col(l_start).cast("long"), F.col(r_start).cast("long")
+                )
+                / F.lit(bucket_width)
+            )
+        )
     )
     return joined.drop("_bucket")

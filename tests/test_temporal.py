@@ -156,3 +156,84 @@ def test_range_ceiling_raises_in_plan(spark):
             bucket_width=1,
             max_buckets_per_interval=100,
         )
+
+
+# ------------------------------------------------------- interval overlap
+
+
+LIV = [(i % 3, (i * 11) % 50, (i * 11) % 50 + 1 + (i * 7) % 23, i) for i in range(25)]
+RIV = [(i % 3, (i * 13 + 4) % 60, (i * 13 + 4) % 60 + 1 + (i * 5) % 17, 500 + i) for i in range(30)]
+
+
+def _overlap(spark, livals, rivals, **kw):
+    from neo4j_export_tool_spark.operators.temporal import interval_overlap_join
+
+    lf = spark.createDataFrame(livals, "k long, ls long, le long, lid long")
+    rf = spark.createDataFrame(rivals, "k long, rs long, re long, rid long")
+    rows = interval_overlap_join(
+        lf, rf, "k", "ls", "le", "rs", "re", **kw
+    ).collect()
+    out = [(x.lid, x.rid) for x in rows]
+    assert len(out) == len(set(out)), "canonical-bucket filter must dedupe"
+    return set(out)
+
+
+def test_overlap_half_open_semantics(spark):
+    got = _overlap(
+        spark,
+        [(1, 10, 20, 1)],
+        [
+            (1, 20, 30, 501),  # touching at 20 → no overlap (half-open)
+            (1, 19, 25, 502),  # one-instant overlap [19, 20)
+            (1, 0, 10, 503),   # touching at 10 → no overlap
+            (1, 12, 14, 504),  # contained
+            (1, 0, 100, 505),  # containing
+            (2, 12, 14, 506),  # other key
+        ],
+        bucket_width=4,
+    )
+    assert got == {(1, 502), (1, 504), (1, 505)}
+
+
+def test_overlap_bucket_width_independent_and_matches_duckdb(spark):
+    results = [
+        _overlap(spark, LIV, RIV, bucket_width=w) for w in (1, 7, 1000)
+    ]
+    assert results[0] == results[1] == results[2]
+    con = duckdb.connect()
+    con.register("liv", pd.DataFrame(LIV, columns=["k", "ls", "le", "lid"]))
+    con.register("riv", pd.DataFrame(RIV, columns=["k", "rs", "re", "rid"]))
+    want = {
+        (a, b)
+        for a, b in con.execute(
+            """
+            SELECT liv.lid, riv.rid FROM liv JOIN riv
+            ON liv.k = riv.k AND liv.ls < riv.re AND riv.rs < liv.le
+            """
+        ).fetchall()
+    }
+    assert results[0] == want
+
+
+def test_overlap_empty_and_collision_validation(spark):
+    got = _overlap(spark, [(1, 10, 10, 1)], [(1, 0, 100, 501)])
+    assert got == set()
+    from neo4j_export_tool_spark.operators.temporal import interval_overlap_join
+
+    lf = spark.createDataFrame([(1, 0, 1, 1)], "k long, s long, e long, lid long")
+    rf = spark.createDataFrame([(1, 0, 1, 1)], "k long, s long, e long, rid long")
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(lf, rf, "k", "s", "e", "s", "e")
+    with pytest.raises(ValueError):
+        interval_overlap_join(lf, rf, "k", "s", "e", "s", "e", bucket_width=0)
+
+
+def test_overlap_ceiling_raises_in_plan(spark):
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        _overlap(
+            spark,
+            [(1, 0, 10_000, 1)],
+            [(1, 5, 6, 501)],
+            bucket_width=1,
+            max_buckets_per_interval=100,
+        )
