@@ -29,18 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pagerank_int(
-    edges: DataFrame,
-    src_col: str,
-    dst_col: str,
-    n_iters: int = 5,
-    damping_pct: int = 85,
-    base: int = 10**12,
-    use_local_checkpoint: bool = True,
-) -> DataFrame:
-    """(node, rank_int) after ``n_iters`` exact-integer PR rounds."""
-    if not 0 < damping_pct < 100:
-        raise ValueError("damping_pct must be in (0, 100)")
+def _prepared_graph(
+    edges: DataFrame, src_col: str, dst_col: str, use_local_checkpoint: bool
+):
+    """(e_deg, nodes) — the (src, dst, outdeg) edge table and the node
+    universe, both materialized for the iteration loop."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -57,16 +50,22 @@ def pagerank_int(
     else:
         e_deg = e_deg.persist()
         nodes = nodes.persist()
+    return e_deg, nodes
 
-    n = nodes.count()
-    if n == 0:
-        return edges.sparkSession.createDataFrame(
-            [], "node string, rank_int long"
-        )
-    teleport = (100 - damping_pct) * base // (100 * n)
-    ranks = nodes.select(
-        "node", F.lit(base // n).cast("long").alias("rank_int")
-    )
+
+def _pagerank_loop(
+    e_deg: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    n_iters: int,
+    damping_pct: int,
+    new_rank,
+    use_local_checkpoint: bool,
+) -> DataFrame:
+    """The shared PR recurrence: per round one rank⋈edges join + one
+    int64 inbound sum, then ``new_rank(nodes ⟕ contribs)`` rebuilds the
+    (node, rank_int) table (uniform teleport for PR, seed-targeted for
+    PPR); lineage cut per round."""
     for _ in range(n_iters):
         contribs = (
             e_deg.join(ranks, e_deg.src == ranks.node)
@@ -79,15 +78,49 @@ def pagerank_int(
             .groupBy("node")
             .agg(F.sum("c").alias("inbound"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = new_rank(nodes.join(contribs, "node", "left"))
+        if use_local_checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    base: int = 10**12,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(node, rank_int) after ``n_iters`` exact-integer PR rounds."""
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e_deg, nodes = _prepared_graph(edges, src_col, dst_col, use_local_checkpoint)
+
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank_int long"
+        )
+    teleport = (100 - damping_pct) * base // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(base // n).cast("long").alias("rank_int")
+    )
+    return _pagerank_loop(
+        e_deg,
+        nodes,
+        ranks,
+        n_iters,
+        damping_pct,
+        lambda joined: joined.select(
             "node",
             (
                 F.lit(teleport) + F.coalesce(F.col("inbound"), F.lit(0))
             ).cast("long").alias("rank_int"),
-        )
-        if use_local_checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+        ),
+        use_local_checkpoint,
+    )
 
 
 def personalized_pagerank_int(
@@ -120,36 +153,23 @@ def personalized_pagerank_int(
         raise ValueError("damping_pct must be in (0, 100)")
     spark = edges.sparkSession
     if isinstance(seeds, (list, tuple, set)):
-        seeds = spark.createDataFrame(
-            [(s,) for s in sorted(seeds)], "node string"
-        )
+        # infer the id type from the values (node ids need not be strings)
+        seeds = spark.createDataFrame([(s,) for s in sorted(seeds)], ["node"])
         seed_col = "node"
     if seed_col is None:
         seed_col = seeds.columns[0]
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    e_deg, nodes = _prepared_graph(edges, src_col, dst_col, use_local_checkpoint)
     marker = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .join(nodes, "node", "left_semi")
         .select("node", F.lit(1).alias("_seed"))
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(deg, "src")
-    if use_local_checkpoint:
-        e_deg = e_deg.localCheckpoint(eager=False)
-        nodes = nodes.localCheckpoint(eager=False)
-        marker = marker.localCheckpoint(eager=False)
-    else:
-        e_deg = e_deg.persist()
-        nodes = nodes.persist()
-        marker = marker.persist()
+    marker = (
+        marker.localCheckpoint(eager=False)
+        if use_local_checkpoint
+        else marker.persist()
+    )
 
     s = marker.count()
     if s == 0:
@@ -159,18 +179,6 @@ def personalized_pagerank_int(
         )
     teleport = (100 - damping_pct) * base // (100 * s)
 
-    def _with_seed(rank_df, inbound_expr):
-        return (
-            rank_df.join(marker, "node", "left")
-            .select(
-                "node",
-                (
-                    F.when(F.col("_seed") == 1, F.lit(teleport)).otherwise(0)
-                    + inbound_expr
-                ).cast("long").alias("rank_int"),
-            )
-        )
-
     ranks = nodes.join(marker, "node", "left").select(
         "node",
         F.when(F.col("_seed") == 1, F.lit(base // s))
@@ -178,25 +186,21 @@ def personalized_pagerank_int(
         .cast("long")
         .alias("rank_int"),
     )
-    for _ in range(n_iters):
-        contribs = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(
-                    f"rank_int * {damping_pct} div (100 * outdeg)"
-                ).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inbound"))
-        )
-        ranks = _with_seed(
-            nodes.join(contribs, "node", "left"),
-            F.coalesce(F.col("inbound"), F.lit(0)),
-        )
-        if use_local_checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return _pagerank_loop(
+        e_deg,
+        nodes,
+        ranks,
+        n_iters,
+        damping_pct,
+        lambda joined: joined.join(marker, "node", "left").select(
+            "node",
+            (
+                F.when(F.col("_seed") == 1, F.lit(teleport)).otherwise(0)
+                + F.coalesce(F.col("inbound"), F.lit(0))
+            ).cast("long").alias("rank_int"),
+        ),
+        use_local_checkpoint,
+    )
 
 
 def degree_stats(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:

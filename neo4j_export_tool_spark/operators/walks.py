@@ -174,8 +174,11 @@ def node2vec_walks(
         raise ValueError("walk_len must be >= 1")
     if walks_per_node < 1:
         raise ValueError("walks_per_node must be >= 1")
-    if min(w_return, w_near, w_far) < 1:
-        raise ValueError("class weights must be positive integers")
+    for w in (w_return, w_near, w_far):
+        # floats would silently truncate in int() and change the walk
+        # distribution relative to any replay — reject, don't coerce
+        if not isinstance(w, int) or w < 1:
+            raise ValueError("class weights must be positive integers")
     e = (
         edges.select(
             F.col(src_col).cast("string").alias("src"),

@@ -97,6 +97,18 @@ def test_partitioning_and_persist_path_bit_identical(spark):
     assert a == b == c
 
 
+def test_integer_node_ids(spark):
+    # node ids need not be strings; the list-seed path must infer types
+    sdf = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = {
+        r.node: r.rank_int
+        for r in personalized_pagerank_int(
+            sdf, "src", "dst", [1], n_iters=3
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3} and got[1] > 0
+
+
 def test_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="seed"):

@@ -302,6 +302,7 @@ def test_node2vec_validation(spark):
         dict(w_return=0),
         dict(w_near=-1),
         dict(w_far=0),
+        dict(w_far=2.5),  # floats must be rejected, not truncated
     ):
         with pytest.raises(ValueError):
             node2vec_walks(df, "s", "d", **kw)
