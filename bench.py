@@ -535,6 +535,24 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): HLL distinct sketch over the concept
+        # column of the mention edges (the fixed-size mergeable
+        # cardinality probe a data card carries).  Exactness pinned by
+        # tests/test_sketches.py (bit-exact python register twin).
+        from neo4j_export_tool_spark.operators.sketches import (
+            approx_distinct_hll,
+        )
+
+        timings["hll_distinct"] = round(
+            min(
+                _timed(
+                    lambda: _force(approx_distinct_hll(_g_edges, "c1", p=12))
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lane (round 6): personalized PageRank from the 8
         # highest-degree concepts (entity relevance over the KG
         # neighborhood).  Exactness pinned by tests/test_ppr.py (integer

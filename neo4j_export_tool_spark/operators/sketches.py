@@ -1,0 +1,140 @@
+"""Deterministic HyperLogLog distinct-count sketches.
+
+Exact distinct counts (`groupBy`/`count_distinct`) shuffle every
+distinct value; at 10^12 documents a cardinality probe should instead
+ship a FIXED-SIZE mergeable register table per partition — that is
+HyperLogLog (Flajolet et al. 2007).  Spark's built-in
+``approx_count_distinct`` is HLL too, but its registers are opaque and
+engine-private: they cannot be stored next to a data card, merged
+across engines, or verified.  This implementation keeps the registers
+as a first-class (bucket, max_rho) DataFrame in EXACT int64 arithmetic
+on the portable 60-bit md5 hash (`functions/similarity.py` — the
+repo-wide determinism convention), so an independent python replay
+reproduces every register bit-for-bit and sketches built anywhere
+merge by a plain ``max``.
+
+Register math, all integer: for h = 60-bit md5 of the value,
+``bucket = h mod 2^p`` and ``rho`` = 1 + number of leading zero bits
+of the remaining ``60 - p`` bits.  The bit length of the remainder is
+computed via ``length(conv(w, 10, 2))`` — a string trick, but exact
+for every int64, where ``floor(log2(w))`` through doubles is wrong at
+2^k boundaries.  The estimate (the only floats, a pure per-sketch
+function of the registers) uses the standard alpha_m bias correction
+plus linear counting below 2.5·m — deterministic because the register
+sum folds over a bucket-sorted array, never a shuffle-ordered SUM.
+
+Scale shape: one projection + one (bucket) max agg — 2^p rows out,
+regardless of input size.  Merging s sketches = union + the same max
+agg.  Registers for empty buckets are absent (implicitly 0); the
+estimator accounts for them via ``m - |present|``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_export_tool_spark.functions.similarity import shingle_hash_col
+
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 12, salt: str = "hll"
+) -> DataFrame:
+    """(bucket, max_rho) HLL register table for the values of ``col``
+    (nulls ignored; values hashed via their canonical string form).
+    ``p`` ∈ [4, 18]: 2^p registers, relative error ≈ 1.04/√(2^p).
+    Buckets that saw no value are ABSENT (register 0 by convention).
+    Output is a pure function of (value set, p, salt) — independent of
+    row order, duplication, and partitioning (max is idempotent).
+    """
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    h = shingle_hash_col(
+        F.concat(F.lit(salt + ":"), F.col(col).cast("string"))
+    )
+    # remaining 60-p bits; shiftright, NOT `/` (double division loses
+    # bits above 2^53 for a 60-bit hash)
+    w = F.shiftright(h, p)
+    # bit_length(w) = length of the binary representation, exact for any
+    # int64 (float log2 misrounds at 2^k boundaries); w == 0 → rho is
+    # the full remainder width + 1
+    bit_len = F.length(F.conv(w, 10, 2))
+    rho = F.when(w == 0, F.lit(_HASH_BITS - p + 1)).otherwise(
+        F.lit(_HASH_BITS - p + 1) - bit_len
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            (h % F.lit(m)).cast("long").alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (p, salt): union + max.
+    The result is bit-identical to sketching the unioned inputs."""
+    if not register_dfs:
+        raise ValueError("need at least one register table")
+    out = register_dfs[0]
+    for r in register_dfs[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """One-row (estimate double, registers_set long) from a register
+    table.  Standard HLL estimator: alpha_m·m²/Σ2^-M_j with linear
+    counting below 2.5·m when empty registers exist.  The float sum
+    folds over a bucket-sorted register array, so the estimate is a
+    deterministic pure function of the registers.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    alpha = _alpha(m)
+    agg = registers.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "max_rho"))
+        ).alias("_regs")
+    ).select(
+        F.aggregate(
+            "_regs",
+            F.lit(0.0),
+            lambda acc, r: acc + F.pow(F.lit(2.0), -r["max_rho"]),
+        ).alias("_sum_present"),
+        F.size("_regs").alias("registers_set"),
+    )
+    zeros = F.lit(m) - F.col("registers_set")
+    raw = F.lit(alpha * m * m) / (F.col("_sum_present") + zeros.cast("double"))
+    # linear counting when the raw estimate is small and zeros remain
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
+    ).otherwise(raw)
+    return agg.select(est.alias("estimate"), "registers_set")
+
+
+def approx_distinct_hll(
+    df: DataFrame, col: str, p: int = 12, salt: str = "hll"
+) -> DataFrame:
+    """Convenience: registers + estimate in one call (one agg pipeline,
+    2^p intermediate rows)."""
+    return hll_estimate(hll_registers(df, col, p=p, salt=salt), p=p)
