@@ -553,6 +553,23 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): count-min counters over the same
+        # column (the hot-key probe feeding the salting operator).
+        # Exactness pinned by tests/test_sketches.py (python twin).
+        from neo4j_export_tool_spark.operators.sketches import cms_counters
+
+        timings["cms_counters"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        cms_counters(_g_edges, "c1", depth=4, width=2048)
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lane (round 6): personalized PageRank from the 8
         # highest-degree concepts (entity relevance over the KG
         # neighborhood).  Exactness pinned by tests/test_ppr.py (integer

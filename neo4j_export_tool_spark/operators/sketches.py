@@ -1,4 +1,5 @@
-"""Deterministic HyperLogLog distinct-count sketches.
+"""Deterministic mergeable sketches: HyperLogLog (distinct counts)
+and count-min (point frequencies).
 
 Exact distinct counts (`groupBy`/`count_distinct`) shuffle every
 distinct value; at 10^12 documents a cardinality probe should instead
@@ -138,3 +139,107 @@ def approx_distinct_hll(
     """Convenience: registers + estimate in one call (one agg pipeline,
     2^p intermediate rows)."""
     return hll_estimate(hll_registers(df, col, p=p, salt=salt), p=p)
+
+
+# ----------------------------------------------------------- count-min
+
+
+def _cms_cells(col: str, depth: int, width: int, salt: str):
+    """array<struct<row, bucket>> — the depth addressed cells of a value
+    (row i's hash = 60-bit md5 of salt:i:value)."""
+    if depth < 1 or depth > 16:
+        raise ValueError("depth must be in [1, 16]")
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    shingle_hash_col(
+                        F.concat(
+                            F.lit(f"{salt}:{i}:"), F.col(col).cast("string")
+                        )
+                    )
+                    % F.lit(width)
+                ).cast("long").alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+
+def cms_counters(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+) -> DataFrame:
+    """(row, bucket, cnt) count-min sketch counters (Cormode &
+    Muthukrishnan 2005) for the values of ``col`` (nulls ignored) —
+    the fixed-size mergeable FREQUENCY probe: point-lookup estimates
+    never underestimate, overestimate by ≤ e·N/width with probability
+    1 - e^-depth.  The practical 100 TB use is hot-key detection
+    feeding the salting operator without a full groupBy of the key
+    column.
+
+    Row i's hash is the 60-bit md5 of ``salt:i:value`` — independent
+    salted hashes, the repo-wide determinism convention, so counters
+    are exact int64 counts reproducible by a python replay.  Shape:
+    one projection exploding each input row into ``depth`` (row,
+    bucket) cells + one keyed sum — ≤ depth·width rows out regardless
+    of input size.  Merging sketches = union + sum (``cms_merge``).
+    Empty cells are absent (count 0).
+    """
+    cells = _cms_cells(col, depth, width, salt)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("_c"))
+        .select(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*counter_dfs: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width, salt):
+    union + sum — bit-identical to sketching the unioned inputs."""
+    if not counter_dfs:
+        raise ValueError("need at least one counter table")
+    out = counter_dfs[0]
+    for c in counter_dfs[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    counters: DataFrame,
+    values: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+) -> DataFrame:
+    """(value, est) point-frequency estimates for the rows of
+    ``values[col]``: est = min over sketch rows of the addressed
+    counter (0 if any addressed cell is empty).  est >= true count
+    always.  One explode + one equi-join on (row, bucket) + one keyed
+    min — the probe set is usually tiny, so AQE broadcasts it.
+    """
+    cells = _cms_cells(col, depth, width, salt)
+    probes = (
+        values.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("value"), F.explode(cells).alias("_c"))
+        .select(
+            "value",
+            F.col("_c.row").alias("row"),
+            F.col("_c.bucket").alias("bucket"),
+        )
+    )
+    return (
+        probes.join(counters, ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

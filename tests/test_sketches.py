@@ -113,3 +113,111 @@ def test_validation(spark):
         hll_registers(df, "v", p=19)
     with pytest.raises(ValueError):
         hll_merge()
+
+
+# ----------------------------------------------------------- count-min
+
+
+from neo4j_export_tool_spark.operators.sketches import (  # noqa: E402
+    cms_counters,
+    cms_lookup,
+    cms_merge,
+)
+
+
+def _py_cms(values, depth, width, salt="cms"):
+    cnt: dict[tuple[int, int], int] = {}
+    for v in values:
+        if v is None:
+            continue
+        for i in range(depth):
+            cell = (i, _h60(f"{salt}:{i}:{v}") % width)
+            cnt[cell] = cnt.get(cell, 0) + 1
+    return cnt
+
+
+def test_cms_counters_match_python_twin(spark):
+    values = [f"k{i % 37}" for i in range(300)] + [None]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_counters(df, "v", depth=3, width=64).collect()
+    }
+    assert got == _py_cms(values, 3, 64)
+
+
+def test_cms_lookup_never_underestimates_and_is_exact_when_wide(spark):
+    from collections import Counter
+
+    values = [f"k{i % 23}" for i in range(460)]
+    true = Counter(values)
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    # narrow sketch: est >= true always
+    narrow = cms_counters(df, "v", depth=4, width=16)
+    probe = spark.createDataFrame([(k,) for k in true], "v string")
+    est_n = {
+        r.value: r.est
+        for r in cms_lookup(narrow, probe, "v", depth=4, width=16).collect()
+    }
+    assert all(est_n[k] >= c for k, c in true.items())
+    # wide sketch: 23 keys in 4096 buckets → collisions vanishingly
+    # unlikely with 4 rows; every estimate exact
+    wide = cms_counters(df, "v", depth=4, width=4096)
+    est_w = {
+        r.value: r.est
+        for r in cms_lookup(wide, probe, "v", depth=4, width=4096).collect()
+    }
+    assert est_w == dict(true)
+
+
+def test_cms_lookup_absent_value_zero_if_no_collisions(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    c = cms_counters(df, "v", depth=4, width=4096)
+    probe = spark.createDataFrame([("zzz-never-seen",)], "v string")
+    got = cms_lookup(c, probe, "v", depth=4, width=4096).collect()
+    assert got[0].est == 0
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    left = [f"a{i % 7}" for i in range(70)]
+    right = [f"b{i % 5}" for i in range(50)] + left[:10]
+    ldf = spark.createDataFrame([(v,) for v in left], "v string")
+    rdf = spark.createDataFrame([(v,) for v in right], "v string")
+    merged = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_merge(
+            cms_counters(ldf, "v", depth=3, width=32),
+            cms_counters(rdf, "v", depth=3, width=32),
+        ).collect()
+    }
+    assert merged == _py_cms(left + right, 3, 32)
+
+
+def test_cms_partitioning_invariant(spark):
+    values = [(f"k{i % 11}",) for i in range(220)]
+    a = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_counters(
+            spark.createDataFrame(values, "v string"), "v", depth=3, width=32
+        ).collect()
+    }
+    b = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_counters(
+            spark.createDataFrame(values, "v string").repartition(13),
+            "v",
+            depth=3,
+            width=32,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_cms_validation(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        cms_counters(df, "v", depth=0)
+    with pytest.raises(ValueError):
+        cms_counters(df, "v", width=1)
+    with pytest.raises(ValueError):
+        cms_merge()
