@@ -793,6 +793,28 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
         # throughput accounting
         from neo4j_export_tool_spark.plans.flagship import documents_kg
 
+        # perf-only lane (round 6): KG schema induction — per-predicate
+        # cardinality profile of the mention-edge table (exactness pinned
+        # by tests/test_ontology.py DuckDB twins)
+        from neo4j_export_tool_spark.operators.ontology import (
+            predicate_profile,
+        )
+
+        _m_edges = doc_mentions(load_documents(spark, sf_dir)).select(
+            "doc_id", _F.lit("MENTIONS").alias("rel"), "concept"
+        ).localCheckpoint(eager=True)
+        timings["predicate_profile"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        predicate_profile(_m_edges, "doc_id", "rel", "concept")
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         _, hashed = documents_kg(spark, sf_dir)
         n_triples = hashed.count()  # untimed warmup + count (as in --scaling)
