@@ -209,3 +209,42 @@ def negative_samples_array_pool(
     return exploded.select(
         "subj", "pred", "obj", "neg_idx", neg.alias("neg_obj")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic exclusive train/val/test assignment: adds
+    ``out_col`` naming the split each row belongs to.  ``splits`` maps
+    split name → integer per-mille weight (defaults to
+    ``{"train": 980, "val": 10, "test": 10}``); weights must be
+    positive and sum to 1000.  A row's bucket is the portable 60-bit
+    md5 of ``salt:id`` mod 1000 (the `portable_bucket` convention), so
+    the assignment is exclusive and total by construction, stable
+    across runs/engines/partitionings, and — critically for a growing
+    corpus — ADDING rows never moves an existing row between splits
+    (no global shuffle, count, or sort participates).  Split boundaries
+    follow the dict's insertion order.
+
+    Pure column projection: zero shuffles, zero actions.
+    """
+    if splits is None:
+        splits = {"train": 980, "val": 10, "test": 10}
+    if not splits or any(w <= 0 for w in splits.values()):
+        raise ValueError("split weights must be positive integers")
+    if sum(splits.values()) != 1000:
+        raise ValueError(
+            f"split weights must sum to 1000 (got {sum(splits.values())})"
+        )
+    bucket = portable_bucket(F.col(id_col), 1000, salt)
+    expr = None
+    lo = 0
+    for name, w in splits.items():
+        cond = bucket < F.lit(lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return df.select("*", expr.alias(out_col))

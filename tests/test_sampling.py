@@ -44,3 +44,79 @@ def test_scalar_quantize_closed_form(spark):
         for r in scalar_quantize(df, "embedding", "vec_id", levels=64).collect()
     }
     assert rows == {0: 0, 1: 32, 2: -32, 3: 63, 4: -1, 5: 63, 6: -64}
+
+
+# ------------------------------------------------------------- splits
+
+
+def _py_split(v, splits, salt="split"):
+    import hashlib
+
+    h = int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16) % 1000
+    lo = 0
+    for name, w in splits.items():
+        if h < lo + w:
+            return name
+        lo += w
+    raise AssertionError("unreachable: weights sum to 1000")
+
+
+def test_assign_splits_matches_python_twin_and_is_total(spark):
+    from neo4j_export_tool_spark.functions.sampling import assign_splits
+
+    splits = {"train": 900, "val": 60, "test": 40}
+    ids = [(f"doc{i}",) for i in range(2000)]
+    df = spark.createDataFrame(ids, "doc_id string")
+    got = {
+        r.doc_id: r.split
+        for r in assign_splits(df, "doc_id", splits).collect()
+    }
+    assert len(got) == 2000  # total: every row assigned exactly once
+    for (v,) in ids:
+        assert got[v] == _py_split(v, splits)
+    # proportions roughly honored (binomial: 900/60/40 per mille)
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert 1700 < c["train"] < 1900 and c["val"] > 60 and c["test"] > 30
+
+
+def test_assign_splits_stable_under_corpus_growth(spark):
+    from neo4j_export_tool_spark.functions.sampling import assign_splits
+
+    small = spark.createDataFrame(
+        [(f"d{i}",) for i in range(100)], "doc_id string"
+    )
+    big = spark.createDataFrame(
+        [(f"d{i}",) for i in range(300)], "doc_id string"
+    )
+    a = {r.doc_id: r.split for r in assign_splits(small, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in assign_splits(big, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())  # no reassignment
+
+
+def test_assign_splits_zero_shuffle_plan(spark):
+    from neo4j_export_tool_spark.functions.sampling import assign_splits
+
+    df = spark.createDataFrame([("a",)], "doc_id string")
+    plan = (
+        assign_splits(df, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_assign_splits_validation(spark):
+    import pytest
+
+    from neo4j_export_tool_spark.functions.sampling import assign_splits
+
+    df = spark.createDataFrame([("a",)], "doc_id string")
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {"train": 999})  # sums to 999
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {"train": 1001, "val": -1})
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {})
