@@ -119,3 +119,79 @@ def ancestor_stats(closure: DataFrame) -> DataFrame:
             F.coalesce("max_down", F.lit(0)).alias("max_down"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds,
+    seed_col: str | None = None,
+    max_hops: int = 10,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(node, dist) — minimum hop count from the seed SET to every node
+    reachable within ``max_hops`` (bounded-radius multi-source BFS;
+    seeds themselves are dist 0).  The KG neighborhood-distance probe:
+    "how far is each entity from the canonical/trusted set".
+
+    ``max_hops`` here is the RADIUS CONTRACT, not a silent cap: the
+    result is exactly the ≤-max_hops neighborhood (unreachable or
+    farther nodes are absent), unlike `transitive_closure`, whose
+    ceiling raises because its contract is the full closure.
+
+    ``seeds`` is a DataFrame (``seed_col`` names the column, default
+    first) or a plain list/tuple/set; seeds outside the node universe
+    are ignored (distance is about graph nodes).  Semi-naive frontier
+    expansion like `transitive_closure`: per hop one frontier⋈edges
+    equi-join + one left-anti vs known — each node enters the frontier
+    at most once, so the total work is O(edges · 1) per radius layer,
+    and BFS order makes the first distance the minimum with no min-agg.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    spark = edges.sparkSession
+    if isinstance(seeds, (list, tuple, set)):
+        seeds = spark.createDataFrame([(s,) for s in sorted(seeds)], ["node"])
+        seed_col = "node"
+    if seed_col is None:
+        seed_col = seeds.columns[0]
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    if use_local_checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    known = frontier
+    for _ in range(max_hops):
+        if use_local_checkpoint:
+            frontier = frontier.localCheckpoint(eager=False)
+            known = known.localCheckpoint(eager=False)
+        if frontier.isEmpty():
+            break
+        stepped = (
+            frontier.select(F.col("node").alias("src"), "dist")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.lit(1)).alias("dist"),
+            )
+            .distinct()
+        )
+        frontier = stepped.join(
+            known.select("node"), "node", "left_anti"
+        )
+        known = known.unionByName(frontier)
+    return known
