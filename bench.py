@@ -442,9 +442,11 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             load_documents,
         )
 
+        _mentions = doc_mentions(load_documents(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )  # shared: the graph build here + the predicate_profile lane
         _g_edges = cooccurrence_edges(
-            doc_mentions(load_documents(spark, sf_dir)),
-            "doc_id", "concept", max_concepts_per_doc=256,
+            _mentions, "doc_id", "concept", max_concepts_per_doc=256
         ).localCheckpoint(eager=True)
         _g_sym = _g_edges.select("c1", "c2").unionByName(
             _g_edges.select(_F.col("c2").alias("c1"), _F.col("c1").alias("c2"))
@@ -800,9 +802,9 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             predicate_profile,
         )
 
-        _m_edges = doc_mentions(load_documents(spark, sf_dir)).select(
+        _m_edges = _mentions.select(
             "doc_id", _F.lit("MENTIONS").alias("rel"), "concept"
-        ).localCheckpoint(eager=True)
+        )
         timings["predicate_profile"] = round(
             min(
                 _timed(

@@ -234,7 +234,11 @@ def assign_splits(
     """
     if splits is None:
         splits = {"train": 980, "val": 10, "test": 10}
-    if not splits or any(w <= 0 for w in splits.values()):
+    if not splits or any(
+        not isinstance(w, int) or w <= 0 for w in splits.values()
+    ):
+        # floats like 999.5 would pass a sum check yet starve a split
+        # (the bucket is integer), so integrality is part of the contract
         raise ValueError("split weights must be positive integers")
     if sum(splits.values()) != 1000:
         raise ValueError(
@@ -247,4 +251,11 @@ def assign_splits(
         cond = bucket < F.lit(lo + w)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += w
-    return df.select("*", expr.alias(out_col))
+    # a NULL id would get a NULL split and silently vanish from every
+    # split filter, breaking totality — enforce in-plan, zero extra pass
+    # (the range-join assert_true convention)
+    chk = F.assert_true(
+        F.col(id_col).isNotNull(),
+        F.lit(f"assign_splits: null id in column {id_col!r}"),
+    )
+    return df.select("*", F.when(chk.isNull(), expr).alias(out_col))

@@ -152,6 +152,10 @@ def bfs_distances(
         raise ValueError("max_hops must be >= 0")
     spark = edges.sparkSession
     if isinstance(seeds, (list, tuple, set)):
+        if not seeds:
+            # createDataFrame cannot infer a schema from an empty list;
+            # fail with the real reason instead
+            raise ValueError("bfs_distances needs at least one seed")
         seeds = spark.createDataFrame([(s,) for s in sorted(seeds)], ["node"])
         seed_col = "node"
     if seed_col is None:

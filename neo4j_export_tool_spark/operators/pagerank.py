@@ -153,6 +153,11 @@ def personalized_pagerank_int(
         raise ValueError("damping_pct must be in (0, 100)")
     spark = edges.sparkSession
     if isinstance(seeds, (list, tuple, set)):
+        if not seeds:
+            raise ValueError(
+                "personalized PageRank needs at least one seed inside the "
+                "graph's node universe"
+            )
         # infer the id type from the values (node ids need not be strings)
         seeds = spark.createDataFrame([(s,) for s in sorted(seeds)], ["node"])
         seed_col = "node"

@@ -122,8 +122,23 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
             lambda acc, r: acc + F.pow(F.lit(2.0), -r["max_rho"]),
         ).alias("_sum_present"),
         F.size("_regs").alias("registers_set"),
+        F.coalesce(
+            F.array_max(F.transform("_regs", lambda r: r["max_rho"])),
+            F.lit(0),
+        ).alias("_max_rho"),
     )
-    zeros = F.lit(m) - F.col("registers_set")
+    # a register table built with a different p would silently produce
+    # garbage (registers_set > m → negative zeros); enforce consistency
+    # in-plan on the single aggregated row
+    chk = F.assert_true(
+        (F.col("registers_set") <= F.lit(m))
+        & (F.col("_max_rho") <= F.lit(_HASH_BITS - p + 1)),
+        F.lit(
+            f"hll_estimate: register table inconsistent with p={p} "
+            "(built with a different precision?)"
+        ),
+    )
+    zeros = F.when(chk.isNull(), F.lit(m)) - F.col("registers_set")
     raw = F.lit(alpha * m * m) / (F.col("_sum_present") + zeros.cast("double"))
     # linear counting when the raw estimate is small and zeros remain
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))

@@ -177,3 +177,5 @@ def test_bfs_validation(spark):
     df = spark.createDataFrame([("a", "b")], "s string, d string")
     with _pytest.raises(ValueError):
         bfs_distances(df, "s", "d", ["a"], max_hops=-1)
+    with _pytest.raises(ValueError, match="seed"):
+        bfs_distances(df, "s", "d", [])

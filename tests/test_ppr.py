@@ -113,5 +113,7 @@ def test_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="seed"):
         personalized_pagerank_int(df, "src", "dst", ["ghost"]).collect()
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank_int(df, "src", "dst", [])
     with pytest.raises(ValueError):
         personalized_pagerank_int(df, "src", "dst", ["a"], damping_pct=0)

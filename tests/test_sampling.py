@@ -120,3 +120,16 @@ def test_assign_splits_validation(spark):
         assign_splits(df, "doc_id", {"train": 1001, "val": -1})
     with pytest.raises(ValueError):
         assign_splits(df, "doc_id", {})
+    with pytest.raises(ValueError):
+        # floats summing to 1000 must be rejected, not silently floored
+        assign_splits(df, "doc_id", {"train": 999.5, "val": 0.5})
+
+
+def test_assign_splits_null_id_raises_in_plan(spark):
+    import pytest
+
+    from neo4j_export_tool_spark.functions.sampling import assign_splits
+
+    df = spark.createDataFrame([("a",), (None,)], "doc_id string")
+    with pytest.raises(Exception, match="null id"):
+        assign_splits(df, "doc_id").collect()

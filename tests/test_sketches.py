@@ -105,6 +105,13 @@ def test_estimate_deterministic_across_partitionings(spark):
     assert a.estimate == b.estimate  # exact ==, float bits included
 
 
+def test_estimate_p_mismatch_raises_in_plan(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "v string")
+    regs14 = hll_registers(df, "v", p=14)
+    with pytest.raises(Exception, match="inconsistent with p"):
+        hll_estimate(regs14, p=4).collect()
+
+
 def test_validation(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError):
