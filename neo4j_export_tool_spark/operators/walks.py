@@ -49,6 +49,41 @@ from pyspark.sql import functions as F
 from neo4j_export_tool_spark.functions.similarity import shingle_hash_col
 
 
+def cap_neighbors(
+    edges: DataFrame, src_col: str, dst_col: str, k: int, salt: str
+) -> DataFrame:
+    """Deterministic per-node neighbor cap: keep the ``k`` neighbors of
+    every source with the smallest 60-bit md5 of ``salt:cap:src:dst``
+    (GraphSAGE-style neighbor sampling, made reproducible).  WHY: on a
+    hub-heavy graph (a doc↔concept bipartite graph's concepts have
+    degree ~ corpus size) every walk standing at a hub expands
+    |N(hub)| candidate rows per step — measured weak-scaling
+    efficiency 0.27-0.45 uncapped vs ~linear capped
+    (BENCH/scaling_graph_ops_round6*.json).  The cap bounds per-step
+    expansion to k·|walks| and is a pure function of (graph, salt) —
+    same pick across runs/engines/partitionings.  One shuffle keyed by
+    the source node.
+    """
+    if k < 1:
+        raise ValueError("max_neighbors_per_node must be >= 1")
+    from pyspark.sql import Window
+
+    h = shingle_hash_col(
+        F.concat(
+            F.lit(salt + ":cap:"),
+            F.col(src_col),
+            F.lit(":"),
+            F.col(dst_col),
+        )
+    )
+    w = Window.partitionBy(src_col).orderBy(h.asc(), F.col(dst_col).asc())
+    return (
+        edges.withColumn("_capr", F.row_number().over(w))
+        .where(F.col("_capr") <= k)
+        .drop("_capr")
+    )
+
+
 def random_walks(
     edges: DataFrame,
     src_col: str,
@@ -56,6 +91,7 @@ def random_walks(
     walk_len: int = 10,
     walks_per_node: int = 2,
     salt: str = "walk",
+    max_neighbors_per_node: int | None = None,
     use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """(walk_id, start, path) — ``walks_per_node`` walks from every node
@@ -65,6 +101,11 @@ def random_walks(
     ``walk_id`` = ``start#i`` for i in [0, walks_per_node); the path is
     an array of node strings beginning with ``start``.  Node ids are
     cast to string (the hash needs a canonical byte form).
+    ``max_neighbors_per_node`` applies the deterministic
+    `cap_neighbors` prune first — REQUIRED on hub-heavy graphs, where
+    per-step candidate expansion is otherwise |N(hub)|·walks (see
+    `cap_neighbors`); the walk is then a pure function of
+    (capped graph, salt).
     """
     if walk_len < 1:
         raise ValueError("walk_len must be >= 1")
@@ -78,6 +119,8 @@ def random_walks(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    if max_neighbors_per_node is not None:
+        e = cap_neighbors(e, "src", "dst", max_neighbors_per_node, salt)
     # use_local_checkpoint=False keeps pure lineage (the edge scan is
     # recomputed per round) — debugging/small-graph mode.  A persist()
     # here would leak cached blocks for the session: the returned
@@ -140,6 +183,7 @@ def node2vec_walks(
     w_near: int = 1,
     w_far: int = 1,
     salt: str = "n2v",
+    max_neighbors_per_node: int | None = None,
     use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """(walk_id, start, path) — node2vec-biased second-order walks with
@@ -187,6 +231,11 @@ def node2vec_walks(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    if max_neighbors_per_node is not None:
+        # bounds BOTH the candidate expansion and the distance-1
+        # membership probe to the capped graph (consistent semantics:
+        # the walk lives entirely on the pruned graph)
+        e = cap_neighbors(e, "src", "dst", max_neighbors_per_node, salt)
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
     e_near = e.select(

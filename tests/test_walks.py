@@ -306,3 +306,68 @@ def test_node2vec_validation(spark):
     ):
         with pytest.raises(ValueError):
             node2vec_walks(df, "s", "d", **kw)
+
+
+# ------------------------------------------------------------- neighbor cap
+
+
+def _py_cap(edges, k, salt):
+    adj: dict[str, list[str]] = {}
+    for s, d in {(str(a), str(b)) for a, b in edges}:
+        adj.setdefault(s, []).append(d)
+    out = []
+    for s, ds in adj.items():
+        ranked = sorted(ds, key=lambda d: (_h60(f"{salt}:cap:{s}:{d}"), d))
+        out += [(s, d) for d in ranked[:k]]
+    return sorted(out)
+
+
+def test_cap_neighbors_matches_python_replay(spark):
+    from neo4j_export_tool_spark.operators.walks import cap_neighbors
+
+    edges = [(f"n{i % 5}", f"m{j}") for i in range(5) for j in range(9)]
+    df = spark.createDataFrame(edges, "s string, d string")
+    for k in (1, 3, 9, 20):
+        got = sorted(
+            (r.s, r.d) for r in cap_neighbors(df, "s", "d", k, "walk").collect()
+        )
+        assert got == _py_cap(edges, k, "walk")
+
+
+def test_capped_walks_live_on_capped_graph(spark):
+    # hub with 6 neighbors, cap 2: every hop from 'hub' must land in the
+    # python-replayed capped neighbor set, for both walk operators
+    edges = [("hub", f"x{i}") for i in range(6)] + [
+        (f"x{i}", "hub") for i in range(6)
+    ]
+    allowed = {d for s, d in _py_cap(edges, 2, "walk") if s == "hub"}
+    got = _spark_walks(spark, edges, 4, 2, max_neighbors_per_node=2)
+    for wid, (start, path) in got.items():
+        for prev, nxt in zip(path, path[1:]):
+            if prev == "hub":
+                assert nxt in allowed
+    allowed_n2v = {d for s, d in _py_cap(edges, 2, "n2v") if s == "hub"}
+    got2 = _spark_n2v(
+        spark, edges, walk_len=4, walks_per_node=2, max_neighbors_per_node=2
+    )
+    for wid, (start, path) in got2.items():
+        for prev, nxt in zip(path, path[1:]):
+            if prev == "hub":
+                assert nxt in allowed_n2v
+
+
+def test_capped_walks_partitioning_independent(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(23)]
+    edges += [(f"n{i}", f"n{(i * 5 + 1) % 23}") for i in range(23)]
+    edges = [(a, b) for a, b in edges if a != b]
+    a = _spark_walks(spark, edges, 4, 1, n_parts=1, max_neighbors_per_node=2)
+    b = _spark_walks(spark, edges, 4, 1, n_parts=7, max_neighbors_per_node=2)
+    assert a == b
+
+
+def test_cap_validation(spark):
+    from neo4j_export_tool_spark.operators.walks import cap_neighbors
+
+    df = spark.createDataFrame([("a", "b")], "s string, d string")
+    with pytest.raises(ValueError):
+        cap_neighbors(df, "s", "d", 0, "walk")
