@@ -484,6 +484,22 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             min(_timed(_lm_run) for _ in range(2)), 3
         )
 
+        # perf-only lane (round 6): per-doc TF-IDF keyword extraction
+        # (exactness pinned by tests/test_tfidf.py python twin)
+        from neo4j_export_tool_spark.functions.text import tfidf_keywords
+
+        timings["tfidf_keywords"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        tfidf_keywords(docs_lm, "doc_id", "text", k=10, min_df=2)
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lane (round 6): BM25 top-k — inverted-index join over
         # the documents table, 16 queries drawn from the corpus itself.
         # Exactness pinned by tests/test_retrieval.py (python twin).

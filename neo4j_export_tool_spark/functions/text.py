@@ -158,3 +158,68 @@ def fingerprint_col(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % F.lit(FINGERPRINT_MOD),
     )
+
+
+def tfidf_keywords(
+    df, id_col: str, text_col: str, k: int = 10, min_df: int = 1
+):
+    """Top-``k`` TF-IDF keywords per document: (doc, token, tf, df,
+    tfidf, rank) — the per-document keyword extraction a corpus data
+    card / search-indexing stage needs (`corpus_vocab` is the corpus-
+    level sibling; BM25 in `operators/retrieval.py` is the query-time
+    sibling sharing the same tokenizer).
+
+    ``tfidf = tf · (ln((N+1)/(df+1)) + 1)`` (the smoothed idf of
+    sklearn's TfidfVectorizer): tf/df/N are exact ints, the double is a
+    per-row function of them — bit-identical across partitionings with
+    no float aggregation.  Ties rank by token asc (deterministic).
+    ``min_df`` prunes hapax noise BEFORE ranking.  Per-doc ranking is a
+    window partitioned by document — bounded by each doc's vocabulary,
+    never corpus-wide.  N rides a one-row broadcast crossJoin (the PMI
+    convention).
+    """
+    from pyspark.sql import Window
+
+    from neo4j_export_tool_spark.functions.similarity import tokens_col
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("token"))
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_N")
+    )
+    scored = (
+        tf.join(docfreq.where(F.col("df") >= min_df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_N") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
