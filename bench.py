@@ -571,6 +571,32 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): log2 histogram of doc token counts
+        # (the data-card distribution probe).  Exactness pinned by
+        # tests/test_sketches.py (python twin + closed-form quantiles).
+        from neo4j_export_tool_spark.operators.sketches import (
+            histogram_quantiles,
+            log2_histogram,
+        )
+
+        _doclen = docs_lm.select(
+            _F.size(_F.split("text", " ")).alias("n_tokens")
+        )
+        timings["log2_histogram"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        histogram_quantiles(
+                            log2_histogram(_doclen, "n_tokens"),
+                            [0.5, 0.9, 0.99],
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lane (round 6): count-min counters over the same
         # column (the hot-key probe feeding the salting operator).
         # Exactness pinned by tests/test_sketches.py (python twin).

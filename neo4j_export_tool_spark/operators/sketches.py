@@ -258,3 +258,105 @@ def cms_lookup(
         .groupBy("value")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# ------------------------------------------------------- log2 histogram
+
+
+def log2_histogram(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, cnt) mergeable power-of-two histogram of a NON-NEGATIVE
+    numeric column — the fixed-size distribution probe (doc lengths,
+    degrees, chunk sizes) completing the sketch family: HLL = distinct,
+    CMS = frequency, this = distribution.  Bucket b holds values in
+    [2^b, 2^(b+1)); value 0 gets bucket -1.  At most 64 buckets for any
+    int64 input — constant-size output, merge = union + sum.
+
+    The bucket is ``length(conv(floor(v), 10, 2)) - 1`` — the exact
+    integer bit length (the HLL trick; float log2 misrounds at 2^k
+    boundaries, exactly the bucket edges).  Values are floored first,
+    so doubles land by their integer part.  Nulls and negatives are
+    rejected in-plan via ``assert_true`` (a silently dropped negative
+    would skew every quantile).
+    """
+    v = F.floor(F.col(col)).cast("long")
+    chk = F.assert_true(
+        F.col(col).isNotNull() & (v >= 0),
+        F.lit(f"log2_histogram: null or negative value in {col!r}"),
+    )
+    bucket = F.when(v == 0, F.lit(-1)).otherwise(
+        F.length(F.conv(v, 10, 2)) - F.lit(1)
+    )
+    return (
+        df.select(
+            F.when(chk.isNull(), bucket).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*hist_dfs: DataFrame) -> DataFrame:
+    """Merge log2 histograms: union + sum — bit-identical to
+    histogramming the unioned inputs."""
+    if not hist_dfs:
+        raise ValueError("need at least one histogram")
+    out = hist_dfs[0]
+    for h in hist_dfs[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
+    """(q, bucket, lo, hi) per requested quantile: the power-of-two
+    bucket containing the q-th value (rank = ceil(q·total), clamped to
+    [1, total]) and its [lo, hi) bounds — 2-approximate quantiles from
+    a constant-size sketch, all integer arithmetic (rank via integer
+    ceil; no float aggregation anywhere).  Runs on the ≤64-row
+    histogram: the sort/window here is bounded, never data-sized.
+    """
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    q_arr = F.array(*[F.lit(float(q)) for q in sorted(set(qs))])
+    # integer ceil(q*total) without float rounding hazards at exact
+    # multiples: rank = floor((q*total*10^9 + 10^9 - 1) / 10^9) is still
+    # float-tainted; instead compare cum/total >= q directly via
+    # cross-multiplied integers scaled by 10^9 (q has <= 9 decimals here)
+    exploded = cum.select(
+        "*", F.explode(q_arr).alias("q")
+    ).withColumn(
+        "_qscaled", F.round(F.col("q") * F.lit(10**9)).cast("long")
+    )
+    # decimal(38,0) cross-multiply: cum·10^9 overflows int64 past
+    # ~9.2e9 rows — a ceiling a 10^12-row histogram would hit
+    hit = exploded.where(
+        F.col("cum").cast("decimal(38,0)") * F.lit(10**9)
+        >= F.col("_qscaled").cast("decimal(38,0)") * F.col("total")
+    )
+    pick = Window.partitionBy("q").orderBy("bucket")
+    return (
+        hit.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "q",
+            "bucket",
+            F.when(F.col("bucket") == -1, F.lit(0))
+            .otherwise(F.expr("shiftleft(1L, cast(bucket as int))"))
+            .cast("long")
+            .alias("lo"),
+            F.when(F.col("bucket") == -1, F.lit(1))
+            .otherwise(F.expr("shiftleft(1L, cast(bucket as int) + 1)"))
+            .cast("long")
+            .alias("hi"),
+        )
+    )

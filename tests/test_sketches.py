@@ -228,3 +228,82 @@ def test_cms_validation(spark):
         cms_counters(df, "v", width=1)
     with pytest.raises(ValueError):
         cms_merge()
+
+
+# ------------------------------------------------------- log2 histogram
+
+
+from neo4j_export_tool_spark.operators.sketches import (  # noqa: E402
+    histogram_merge,
+    histogram_quantiles,
+    log2_histogram,
+)
+
+
+def _py_hist(values):
+    h: dict[int, int] = {}
+    for v in values:
+        iv = int(v)
+        b = -1 if iv == 0 else iv.bit_length() - 1
+        h[b] = h.get(b, 0) + 1
+    return h
+
+
+def test_hist_matches_python_twin(spark):
+    values = [0, 1, 2, 3, 4, 7, 8, 1023, 1024, 5, 5, 0, 2**40]
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    got = {r.bucket: r.cnt for r in log2_histogram(df, "v").collect()}
+    assert got == _py_hist(values)
+
+
+def test_hist_doubles_floored_and_merge(spark):
+    a = spark.createDataFrame([(0.9,), (1.5,), (2.0,)], "v double")
+    b = spark.createDataFrame([(3.99,), (4.0,)], "v double")
+    merged = {
+        r.bucket: r.cnt
+        for r in histogram_merge(
+            log2_histogram(a, "v"), log2_histogram(b, "v")
+        ).collect()
+    }
+    assert merged == _py_hist([0, 1, 2, 3, 4])
+
+
+def test_hist_rejects_negative_and_null_in_plan(spark):
+    df = spark.createDataFrame([(1,), (-2,)], "v long")
+    with pytest.raises(Exception, match="negative"):
+        log2_histogram(df, "v").collect()
+    dfn = spark.createDataFrame([(1,), (None,)], "v long")
+    with pytest.raises(Exception, match="null or negative"):
+        log2_histogram(dfn, "v").collect()
+
+
+def test_quantile_buckets(spark):
+    # 100 values: 50 in bucket 3 ([8,16)), 40 in bucket 6 ([64,128)),
+    # 10 in bucket 10 ([1024,2048))
+    values = [9] * 50 + [100] * 40 + [2000] * 10
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    h = log2_histogram(df, "v")
+    got = {
+        r.q: (r.bucket, r.lo, r.hi)
+        for r in histogram_quantiles(h, [0.5, 0.9, 0.99]).collect()
+    }
+    assert got[0.5] == (3, 8, 16)      # 50th value is the last of bucket 3
+    assert got[0.9] == (6, 64, 128)    # 90th is the last of bucket 6
+    assert got[0.99] == (10, 1024, 2048)
+
+
+def test_quantile_validation_and_partitioning(spark):
+    df = spark.createDataFrame([(5,)], "v long")
+    h = log2_histogram(df, "v")
+    with pytest.raises(ValueError):
+        histogram_quantiles(h, [])
+    with pytest.raises(ValueError):
+        histogram_quantiles(h, [0.0])
+    with pytest.raises(ValueError):
+        histogram_merge()
+    values = [(i % 97 + 1,) for i in range(500)]
+    a = {r.bucket: r.cnt for r in log2_histogram(
+        spark.createDataFrame(values, "v long"), "v").collect()}
+    b = {r.bucket: r.cnt for r in log2_histogram(
+        spark.createDataFrame(values, "v long").repartition(13), "v").collect()}
+    assert a == b
