@@ -579,9 +579,9 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             log2_histogram,
         )
 
-        _doclen = docs_lm.select(
+        _doclen = docs_lm.where(_F.col("text").isNotNull()).select(
             _F.size(_F.split("text", " ")).alias("n_tokens")
-        )
+        )  # a null text would trip the histogram's in-plan reject
         timings["log2_histogram"] = round(
             min(
                 _timed(

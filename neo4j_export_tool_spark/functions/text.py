@@ -191,6 +191,10 @@ def tfidf_keywords(
         df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("token"))
         .groupBy("doc", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # reused by docfreq AND the scored join below — without the
+        # lineage cut the tokenize+explode+shuffle runs twice (Catalyst
+        # does not CSE across a self-join; the retrieval.py convention)
+        .localCheckpoint(eager=False)
     )
     docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.where(F.col(text_col).isNotNull()).agg(

@@ -316,6 +316,11 @@ def histogram_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
     """
     if not qs or any(not 0 < q <= 1 for q in qs):
         raise ValueError("quantiles must be in (0, 1]")
+    if any(abs(q * 10**9 - round(q * 10**9)) > 1e-3 for q in qs):
+        # the rank comparison scales q by 10^9 exactly; a q like 1/3
+        # would silently truncate and can pick the previous bucket on
+        # large totals — reject instead
+        raise ValueError("quantiles must have at most 9 decimal digits")
     from pyspark.sql import Window
 
     w = Window.orderBy("bucket").rowsBetween(
@@ -355,6 +360,9 @@ def histogram_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
             .cast("long")
             .alias("lo"),
             F.when(F.col("bucket") == -1, F.lit(1))
+            # bucket 62 is int64's top bucket: shiftleft(1L, 63)
+            # overflows to Long.MIN — clamp hi to Long.MAX
+            .when(F.col("bucket") == 62, F.lit((1 << 63) - 1))
             .otherwise(F.expr("shiftleft(1L, cast(bucket as int) + 1)"))
             .cast("long")
             .alias("hi"),

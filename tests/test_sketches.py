@@ -307,3 +307,19 @@ def test_quantile_validation_and_partitioning(spark):
     b = {r.bucket: r.cnt for r in log2_histogram(
         spark.createDataFrame(values, "v long").repartition(13), "v").collect()}
     assert a == b
+
+
+def test_quantile_top_bucket_hi_clamped(spark):
+    # 2^62 lands in bucket 62; hi must clamp to Long.MAX, not overflow
+    df = spark.createDataFrame([(1 << 62,)], "v long")
+    got = histogram_quantiles(log2_histogram(df, "v"), [1.0]).collect()[0]
+    assert got.bucket == 62
+    assert got.lo == 1 << 62
+    assert got.hi == (1 << 63) - 1
+
+
+def test_quantile_rejects_truncating_q(spark):
+    df = spark.createDataFrame([(5,)], "v long")
+    h = log2_histogram(df, "v")
+    with pytest.raises(ValueError, match="9 decimal"):
+        histogram_quantiles(h, [1 / 3])

@@ -74,10 +74,18 @@ def run_arm(cores: int, rate_pct: int) -> dict:
     ctrl = bench._control_jvm(spark)
     e = spark.read.parquet(EDGES_PATH)
     if rate_pct < 100:
-        # sample EDGES (the unit of work) by a deterministic composite key
+        # sample by the CANONICAL undirected key so both directions of an
+        # edge share a fate — (a,b) and (b,a) hashed independently would
+        # give LPA (which canonicalizes) 1-(1-r)^2 of undirected edges
+        # while n_edges reports r of directed rows, inflating its
+        # efficiency ~1.75x
         e = e.filter(
             portable_bucket(
-                F.concat_ws("|", "c1", "c2"), 100, "scale"
+                F.concat_ws(
+                    "|", F.least("c1", "c2"), F.greatest("c1", "c2")
+                ),
+                100,
+                "scale",
             ) < rate_pct
         )
     e = e.localCheckpoint(eager=True)
@@ -86,15 +94,27 @@ def run_arm(cores: int, rate_pct: int) -> dict:
         r.c1
         for r in e.select("c1").distinct().orderBy("c1").limit(4).collect()
     ]
+    # per-op work measures: node2vec's per-step candidate expansion is
+    # sum over walk starts of min(outdeg, cap) — NOT the edge count once
+    # the cap binds; PPR joins every directed edge per round; LPA works
+    # on the canonical undirected set (= n_edges/2 under canonical
+    # sampling of a symmetrized graph)
+    cap = 32
+    n2v_work = e.groupBy("c1").count().agg(
+        F.sum(F.least(F.col("count"), F.lit(cap)))
+    ).collect()[0][0]
     out = {"cores": cores, "rate_pct": rate_pct, "n_edges": n_edges,
-           "control_jvm_sec": round(ctrl, 3), "ops": {}}
+           "control_jvm_sec": round(ctrl, 3),
+           "work": {"node2vec": int(n2v_work), "ppr": n_edges,
+                    "lpa": n_edges // 2},
+           "ops": {}}
     for name, fn in (
         # max_neighbors_per_node: the hub cap that makes walk cost
         # linear in edges (uncapped study: eff 0.27-0.45 — see the
         # _uncapped archive and cap_neighbors docstring)
         ("node2vec", lambda: node2vec_walks(
             e, "c1", "c2", walk_len=4, walks_per_node=1, w_return=1,
-            w_near=2, w_far=4, max_neighbors_per_node=32)),
+            w_near=2, w_far=4, max_neighbors_per_node=cap)),
         ("ppr", lambda: personalized_pagerank_int(
             e, "c1", "c2", seeds, n_iters=5)),
         ("lpa", lambda: label_propagation(e, "c1", "c2", n_iters=4)),
@@ -121,8 +141,8 @@ def main() -> None:
         per_rep = []
         for i in range(reps):
             small, big = arms[2 * i], arms[2 * i + 1]
-            work_small = small["n_edges"] / small["cores"]
-            work_big = big["n_edges"] / big["cores"]
+            work_small = small["work"][op] / small["cores"]
+            work_big = big["work"][op] / big["cores"]
             # weak-scaling efficiency, normalized to measured work/core
             eff = (small["ops"][op] / big["ops"][op]) * (
                 work_big / work_small
