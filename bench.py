@@ -647,6 +647,28 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): strongly connected components over
+        # the symmetrized concept graph (every WCC is an SCC there —
+        # the lane measures the coloring loop's cost; directed-graph
+        # exactness pinned by tests/test_scc.py Tarjan twin).
+        from neo4j_export_tool_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        timings["scc_coloring"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        strongly_connected_components(
+                            _g_sym, "c1", "c2", max_label_rounds=128
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lane (round 6): link-prediction scores (CN / Jaccard /
         # Adamic-Adar / resource allocation) over the shared concept graph
         # — the wedge self-join cost law of the triangles lane plus the
