@@ -647,6 +647,25 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): the graph-embedding prep COMPOSITION
+        # (mentions → projection → cap → node2vec → skip-gram → PMI →
+        # negatives-ready splits); per-stage exactness pinned by each
+        # operator's own tests, composition by tests/test_embedding_prep.py
+        from neo4j_export_tool_spark.plans.embedding_prep import (
+            prepare_embedding_corpus,
+        )
+
+        def _embed_prep_run():
+            res = prepare_embedding_corpus(
+                _mentions, walk_len=5, walks_per_node=1
+            )
+            _force(res.pairs)
+            _force(res.collocations)
+
+        timings["embedding_prep_full"] = round(
+            min(_timed(_embed_prep_run) for _ in range(2)), 3
+        )
+
         # perf-only lane (round 6): strongly connected components over
         # the symmetrized concept graph (every WCC is an SCC there —
         # the lane measures the coloring loop's cost; directed-graph
