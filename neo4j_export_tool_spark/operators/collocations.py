@@ -37,21 +37,36 @@ def pmi_scores(
     a_col: str,
     b_col: str,
     min_count: int = 1,
+    count_col: str | None = None,
 ) -> DataFrame:
     """(a, b, n, n_a, n_b, pmi, npmi) for every distinct pair with
     ``n >= min_count``.  ``n_a``/``n_b`` are the marginal counts of the
     left/right slots over ALL pair events (unfiltered), N their total.
     Null-keyed rows are dropped (a null slot is a non-event).
+
+    ``count_col`` names a pre-aggregated event count per (a, b) row —
+    pass it when the caller already holds the frequency table (e.g.
+    ``skipgram_pairs(..., with_counts=True)``) to skip the counting agg;
+    the scores are identical to feeding the raw events.
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    counts = (
-        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)  # reused by marginals, total, joins
-    )
+    if count_col is None:
+        counts = (
+            pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+            .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    else:
+        counts = pairs.select(
+            F.col(a_col).alias("a"),
+            F.col(b_col).alias("b"),
+            F.col(count_col).cast("long").alias("n"),
+        ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    counts = counts.localCheckpoint(
+        eager=False
+    )  # reused by marginals, total, joins
     n_a = counts.groupBy("a").agg(F.sum("n").alias("n_a"))
     n_b = counts.groupBy("b").agg(F.sum("n").alias("n_b"))
     total = counts.agg(F.sum("n").alias("_N"))

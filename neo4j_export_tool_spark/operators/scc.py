@@ -81,6 +81,43 @@ def strongly_connected_components(
     for _ in range(max_outer_rounds):
         if nodes.isEmpty():
             return assigned
+        # 0. TRIM: a node with no in-edge or no out-edge in the
+        # surviving subgraph cannot sit in a multi-node SCC — emit
+        # singletons until the fixpoint.  This removes entire DAG
+        # portions cheaply; without it a plain 40-node path would need
+        # 40 outer rounds (one root SCC each) and trip the ceiling.
+        for _t in range(max_label_rounds):
+            srcs = e.select(F.col("src").alias("node")).distinct()
+            dsts = e.select(F.col("dst").alias("node")).distinct()
+            trivial = (
+                nodes.join(srcs, "node", "left_anti")
+                .unionByName(nodes.join(dsts, "node", "left_anti"))
+                .distinct()
+            )
+            trivial = _ckpt(trivial)
+            if trivial.isEmpty():
+                break
+            assigned = _ckpt(
+                assigned.unionByName(
+                    trivial.select("node", F.col("node").alias("scc_id"))
+                )
+            )
+            nodes = _ckpt(nodes.join(trivial, "node", "left_anti"))
+            e = _ckpt(
+                e.join(
+                    trivial.select(F.col("node").alias("src")),
+                    "src",
+                    "left_anti",
+                ).join(
+                    trivial.select(F.col("node").alias("dst")),
+                    "dst",
+                    "left_anti",
+                )
+            )
+        # (trim ceiling exhausting is not an error — coloring below
+        # handles whatever remains)
+        if nodes.isEmpty():
+            return assigned
         # 1. forward min-label fixpoint: color(v) = min id reaching v
         colors = nodes.select("node", F.col("node").alias("color"))
         for _r in range(max_label_rounds):
@@ -105,6 +142,10 @@ def strongly_connected_components(
                     (F.col("_in") < F.col("color")).alias("_moved"),
                 )
             )
+            # checkpoint BEFORE the moved-check: the isEmpty action
+            # materializes nxt so the next round reads it instead of
+            # re-running this round's join (closure.py discipline)
+            nxt = _ckpt(nxt)
             moved = nxt.where(F.col("_moved")).isEmpty()
             colors = nxt.select("node", "color")
             if moved:

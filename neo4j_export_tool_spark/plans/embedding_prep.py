@@ -6,15 +6,19 @@ individually twin-verified; this plan is the composition —
 `plans/corpus_prep.py` is the text sibling):
 
     mention edges → co-occurrence projection → deterministic neighbor
-    cap → node2vec walks → skip-gram pairs (+counts) → PMI scores
-    → deterministic negatives → per-mille train/val/test splits
+    cap → node2vec walks → skip-gram pair counts → PMI scores
+    → per-mille train/val/test splits
+
+(Corrupted-tail NEGATIVES for triple-embedding training are a separate
+surface — ``functions/sampling.py::negative_samples`` over a triple
+table; skip-gram training draws its negatives from the pair frequency
+table this plan emits.)
 
 Scale shapes inherited from the stages: the projection and cap are one
 shuffle each, walks are walk_len rounds of linear joins on the CAPPED
-graph (the hub-expansion ceiling `cap_neighbors` documents), pair
-explosion is zero-shuffle, PMI is two marginal aggs, negatives are two
-int64-key joins against the indexed pool, splits are a pure
-projection.  Determinism end to end: every stage is hash- or
+graph (the hub-expansion ceiling `cap_neighbors` documents), the pair
+explosion is zero-shuffle and counted ONCE (shared by the split table
+and PMI), PMI is two marginal aggs, splits are a pure projection.  Determinism end to end: every stage is hash- or
 integer-exact, so the same KG, knobs, and salts produce the same
 training set — resume- and engine-independent.
 """
@@ -86,13 +90,16 @@ def prepare_embedding_corpus(
         w_return=w_return, w_near=w_near, w_far=w_far, salt=salt,
     ).localCheckpoint(eager=False)
 
-    raw_pairs = skipgram_pairs(walks, "path", window=window)
-    counted = skipgram_pairs(
+    counted_all = skipgram_pairs(
         walks, "path", window=window, with_counts=True
-    ).where(F.col("n") >= min_pair_count)
+    ).localCheckpoint(eager=False)  # shared by the split table AND PMI
+    counted = counted_all.where(F.col("n") >= min_pair_count)
     labeled = assign_splits(
         counted.withColumn(
-            "_pair_key", F.concat_ws("", "center", "context")
+            # separator matters: concat without one would collide
+            # ("spark","joinshuffle") with ("sparkjoin","shuffle") into
+            # one split bucket - a train/test-leakage channel
+            "_pair_key", F.concat_ws("|", "center", "context")
         ),
         "_pair_key",
         splits,
@@ -100,7 +107,8 @@ def prepare_embedding_corpus(
     ).drop("_pair_key")
 
     colloc = pmi_scores(
-        raw_pairs, "center", "context", min_count=min_pair_count
+        counted_all, "center", "context",
+        min_count=min_pair_count, count_col="n",
     )
 
     metrics = {

@@ -91,3 +91,22 @@ def test_validation(spark):
     df = spark.createDataFrame([("a", "b")], "a string, b string")
     with pytest.raises(ValueError):
         pmi_scores(df, "a", "b", min_count=0)
+
+
+def test_precounted_input_matches_raw_events(spark):
+    import pyspark.sql.functions as F
+
+    events = [(f"a{(i * 7) % 5}", f"b{(i * 11 + 3) % 7}") for i in range(120)]
+    raw = spark.createDataFrame(events, "a string, b string")
+    pre = raw.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    got_raw = {
+        (r.a, r.b): (r.n, r.n_a, r.n_b, r.pmi, r.npmi)
+        for r in pmi_scores(raw, "a", "b", min_count=2).collect()
+    }
+    got_pre = {
+        (r.a, r.b): (r.n, r.n_a, r.n_b, r.pmi, r.npmi)
+        for r in pmi_scores(
+            pre, "a", "b", min_count=2, count_col="cnt"
+        ).collect()
+    }
+    assert got_raw == got_pre  # exact ==, float bits included

@@ -117,3 +117,21 @@ def test_label_ceiling_raises(spark):
     chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(20)]
     with pytest.raises(RuntimeError, match="max_label_rounds"):
         _spark_scc(spark, chain, max_label_rounds=3)
+
+
+def test_deep_dag_handled_by_trim(spark):
+    # a pure 40-node path has no cycles; before the trim step this
+    # needed 40 outer rounds (one root SCC each) and raised the ceiling
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(39)]
+    got = _spark_scc(spark, chain)  # default ceilings
+    assert got == {f"c{i:03d}": f"c{i:03d}" for i in range(40)}
+
+
+def test_trim_plus_cycle_mix(spark):
+    # DAG tail into a cycle into a DAG head: trim strips both ends,
+    # coloring finds the cycle
+    edges = [("t1", "t2"), ("t2", "x"), ("x", "y"), ("y", "z"),
+             ("z", "x"), ("z", "h1"), ("h1", "h2")]
+    got = _spark_scc(spark, edges)
+    assert got == {"t1": "t1", "t2": "t2", "x": "x", "y": "x", "z": "x",
+                   "h1": "h1", "h2": "h2"}
