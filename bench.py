@@ -633,6 +633,32 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             .collect()
         ]
 
+        # perf-only lane (round 6): weighted PageRank over the
+        # co-occurrence weights (exactness pinned by tests/test_ppr.py
+        # two-step integer-div python twin)
+        from neo4j_export_tool_spark.operators.pagerank import (
+            weighted_pagerank_int,
+        )
+
+        _g_wsym = _g_edges.select("c1", "c2", "weight").unionByName(
+            _g_edges.select(
+                _F.col("c2").alias("c1"), _F.col("c1").alias("c2"), "weight"
+            )
+        )
+        timings["weighted_pagerank"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        weighted_pagerank_int(
+                            _g_wsym, "c1", "c2", "weight", n_iters=5
+                        )
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         timings["personalized_pagerank"] = round(
             min(
                 _timed(

@@ -61,19 +61,23 @@ def _pagerank_loop(
     damping_pct: int,
     new_rank,
     use_local_checkpoint: bool,
+    contrib_sql: str | None = None,
 ) -> DataFrame:
     """The shared PR recurrence: per round one rank⋈edges join + one
     int64 inbound sum, then ``new_rank(nodes ⟕ contribs)`` rebuilds the
     (node, rank_int) table (uniform teleport for PR, seed-targeted for
-    PPR); lineage cut per round."""
+    PPR); lineage cut per round.  ``contrib_sql`` overrides the
+    per-edge transfer expression (weighted variant); ``{d}`` is
+    substituted with damping_pct."""
+    contrib_sql = (contrib_sql or "rank_int * {d} div (100 * outdeg)").format(
+        d=damping_pct
+    )
     for _ in range(n_iters):
         contribs = (
             e_deg.join(ranks, e_deg.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
-                F.expr(
-                    f"rank_int * {damping_pct} div (100 * outdeg)"
-                ).alias("c"),
+                F.expr(contrib_sql).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inbound"))
@@ -82,6 +86,87 @@ def _pagerank_loop(
         if use_local_checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def weighted_pagerank_int(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    base: int = 10**12,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(node, rank_int) — exact-integer PageRank where each out-edge
+    receives mass proportional to its INTEGER weight (a KG's edge
+    weights are counts — mention multiplicity, co-occurrence n — so
+    integer weights are the natural contract and keep every transfer
+    exact):
+
+      contrib(u→v) = ((rank(u)·damping_pct) div 100) · w(u→v)
+                       div Σ_out w(u)
+
+    The two-step floor division bounds intermediates: rank·damping ≤
+    10^14, then ×w — safe for weights up to 10^7 (enforced in-plan via
+    ``assert_true``; larger weights would overflow int64 at full rank
+    mass).  Same teleport, loop discipline, and engine/partitioning
+    independence as `pagerank_int`; a python twin replays the identical
+    two-step recurrence (tests/test_ppr.py).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    chk = F.assert_true(
+        F.col("w").isNotNull() & (F.col("w") >= 1) & (F.col("w") <= 10**7),
+        F.lit(
+            "weighted_pagerank_int: weights must be integers in "
+            "[1, 10^7] (larger would overflow int64 at full rank mass)"
+        ),
+    )
+    e = e.select("src", "dst", F.when(chk.isNull(), F.col("w")).alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    e_w = e.join(wsum, "src")
+    if use_local_checkpoint:
+        e_w = e_w.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    else:
+        e_w = e_w.persist()
+        nodes = nodes.persist()
+
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank_int long"
+        )
+    teleport = (100 - damping_pct) * base // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(base // n).cast("long").alias("rank_int")
+    )
+    return _pagerank_loop(
+        e_w,
+        nodes,
+        ranks,
+        n_iters,
+        damping_pct,
+        lambda joined: joined.select(
+            "node",
+            (
+                F.lit(teleport) + F.coalesce(F.col("inbound"), F.lit(0))
+            ).cast("long").alias("rank_int"),
+        ),
+        use_local_checkpoint,
+        contrib_sql="((rank_int * {d}) div 100) * w div wsum",
+    )
 
 
 def pagerank_int(

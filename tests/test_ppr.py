@@ -117,3 +117,72 @@ def test_validation(spark):
         personalized_pagerank_int(df, "src", "dst", [])
     with pytest.raises(ValueError):
         personalized_pagerank_int(df, "src", "dst", ["a"], damping_pct=0)
+
+
+# --------------------------------------------------------- weighted PR
+
+
+def _py_wpr(edges, n_iters=5, damping_pct=85, base=10**12):
+    """edges: (src, dst, w) — replays the exact two-step integer div."""
+    nodes = {n for a, b, _ in edges for n in (a, b)}
+    wsum: dict[str, int] = {}
+    for a, _, w in edges:
+        wsum[a] = wsum.get(a, 0) + w
+    n = len(nodes)
+    tele = (100 - damping_pct) * base // (100 * n)
+    r = {x: base // n for x in nodes}
+    for _ in range(n_iters):
+        inbound = {x: 0 for x in nodes}
+        for a, b, w in edges:
+            inbound[b] += ((r[a] * damping_pct) // 100) * w // wsum[a]
+        r = {x: tele + inbound[x] for x in nodes}
+    return r
+
+
+def test_weighted_matches_python_twin(spark):
+    from neo4j_export_tool_spark.operators.pagerank import (
+        weighted_pagerank_int,
+    )
+
+    edges = [
+        (f"n{i}", f"n{(i * 7 + 3) % 11}", 1 + (i * 5) % 9) for i in range(11)
+    ] + [(f"n{i}", f"n{(i * 3 + 1) % 11}", 1 + i % 4) for i in range(11)]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r.node: r.rank_int
+        for r in weighted_pagerank_int(df, "src", "dst", "w", n_iters=5).collect()
+    }
+    assert got == _py_wpr(edges, n_iters=5)
+    # partitioning independence
+    got7 = {
+        r.node: r.rank_int
+        for r in weighted_pagerank_int(
+            df.repartition(7), "src", "dst", "w", n_iters=5
+        ).collect()
+    }
+    assert got7 == got
+
+
+def test_weighted_bias_and_validation(spark):
+    from neo4j_export_tool_spark.operators.pagerank import (
+        weighted_pagerank_int,
+    )
+
+    # a splits its mass 9:1 between b and c
+    df = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    got = {
+        r.node: r.rank_int
+        for r in weighted_pagerank_int(df, "src", "dst", "w", n_iters=6).collect()
+    }
+    assert got["b"] > got["c"]
+    bad = spark.createDataFrame(
+        [("a", "b", 0)], "src string, dst string, w long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="weights"):
+        weighted_pagerank_int(bad, "src", "dst", "w").collect()
