@@ -714,6 +714,19 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): k-truss peel at k=3 over the shared
+        # concept graph (exactness pinned by tests/test_triangles.py
+        # python twin + closed forms)
+        from neo4j_export_tool_spark.operators.triangles import ktruss
+
+        timings["ktruss"] = round(
+            min(
+                _timed(lambda: _force(ktruss(_g_edges, "c1", "c2", 3)))
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lane (round 6): link-prediction scores (CN / Jaccard /
         # Adamic-Adar / resource allocation) over the shared concept graph
         # — the wedge self-join cost law of the triangles lane plus the

@@ -69,17 +69,19 @@ def cooccurrence_edges(
     )
 
 
-def triangle_counts(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
-    """(node, triangles) for every node on ≥1 triangle of the undirected
-    simple graph induced by ``edges`` (self-loops and duplicate /
-    reversed edges are collapsed first)."""
+def _canonical_undirected(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """(u, v) with u < v, self-loops and duplicate/reversed edges collapsed."""
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).where(
         F.col("a") != F.col("b")
     )
-    und = e.select(
+    return e.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
     ).distinct()
 
+
+def _enumerate_triangles(und: DataFrame) -> DataFrame:
+    """(x, lo, hi) — each triangle of the canonical edge set exactly once,
+    via degree-ordered orientation + wedge join (Suri-Vassilvitskii)."""
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -117,7 +119,14 @@ def triangle_counts(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .select("x", F.col("y1").alias("lo"), F.col("y2").alias("hi"))
     )
     closing = oriented.select(F.col("x").alias("lo"), F.col("y").alias("hi"))
-    tris = wedges.join(closing, ["lo", "hi"])
+    return wedges.join(closing, ["lo", "hi"]).select("x", "lo", "hi")
+
+
+def triangle_counts(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """(node, triangles) for every node on ≥1 triangle of the undirected
+    simple graph induced by ``edges`` (self-loops and duplicate /
+    reversed edges are collapsed first)."""
+    tris = _enumerate_triangles(_canonical_undirected(edges, a_col, b_col))
 
     return (
         tris.select(
@@ -125,4 +134,82 @@ def triangle_counts(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+    k: int,
+    max_rounds: int = 64,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(u, v) — the canonical edges of the maximal k-truss: the largest
+    subgraph in which EVERY edge sits on at least ``k - 2`` triangles
+    (Cohen 2008) — the edge analog of `operators/kcore.py`'s node peel,
+    and the standard cohesive-community filter one notch stronger than
+    k-core.
+
+    Fixpoint peel: per round enumerate the surviving triangles
+    (`_enumerate_triangles` — the degree-ordered wedge join, each
+    triangle once), credit each triangle's three canonical edges, drop
+    edges with support < k - 2, repeat until stable.  Rounds cost one
+    triangle enumeration each (the same cost law as `triangle_counts`);
+    ``max_rounds`` is a RAISING ceiling (closure convention) — a
+    pathological peel cascade needs a deliberate raise, never silent
+    truncation.  ``k <= 2`` returns every edge (every edge is trivially
+    a 2-truss member).  Deterministic: supports are exact counts, the
+    peel is a pure function of the graph.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = _canonical_undirected(edges, a_col, b_col)
+    if use_local_checkpoint:
+        und = und.localCheckpoint(eager=False)
+    if k <= 2:
+        return und
+    need = k - 2
+    n_prev = und.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            return und
+        tris = _enumerate_triangles(und)
+        credits = (
+            tris.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("x", "lo").alias("u"),
+                            F.greatest("x", "lo").alias("v"),
+                        ),
+                        F.struct(
+                            F.least("x", "hi").alias("u"),
+                            F.greatest("x", "hi").alias("v"),
+                        ),
+                        F.struct(
+                            F.least("lo", "hi").alias("u"),
+                            F.greatest("lo", "hi").alias("v"),
+                        ),
+                    )
+                ).alias("_e")
+            )
+            .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        keep = und.join(
+            credits.where(F.col("support") >= need).select("u", "v"),
+            ["u", "v"],
+            "left_semi",
+        )
+        if use_local_checkpoint:
+            keep = keep.localCheckpoint(eager=False)
+        n_keep = keep.count()
+        if n_keep == n_prev:
+            return keep
+        und, n_prev = keep, n_keep
+    raise RuntimeError(
+        f"k-truss peel still shrinking after max_rounds={max_rounds}; "
+        "raise the ceiling (deep peel cascade)"
     )

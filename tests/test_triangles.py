@@ -164,3 +164,82 @@ def test_mentions_to_triangles_end_to_end_twin(spark):
     )
     assert got == want
     assert sum(got.values()) % 3 == 0 and got  # 3 corners per triangle
+
+
+# --------------------------------------------------------------- k-truss
+
+
+def _py_ktruss(edges, k):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if k <= 2:
+        return und
+    need = k - 2
+    while True:
+        adj = {}
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        keep = {
+            (u, v)
+            for u, v in und
+            if len(adj[u] & adj[v]) >= need
+        }
+        if keep == und:
+            return keep
+        und = keep
+
+
+def _spark_ktruss(spark, edges, k, n_parts=None, **kw):
+    from neo4j_export_tool_spark.operators.triangles import ktruss
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    if n_parts:
+        df = df.repartition(n_parts)
+    return {(r.u, r.v) for r in ktruss(df, "a", "b", k, **kw).collect()}
+
+
+def _k4(prefix="k"):
+    ns = [f"{prefix}{i}" for i in range(4)]
+    return [(x, y) for i, x in enumerate(ns) for y in ns[i + 1:]]
+
+
+def test_ktruss_closed_forms(spark):
+    # K4 is a 4-truss (every edge on 2 triangles); a triangle with a
+    # pendant edge: the pendant dies at k=3, the triangle survives
+    assert _spark_ktruss(spark, _k4(), 4) == set(_py_ktruss(_k4(), 4))
+    assert len(_spark_ktruss(spark, _k4(), 4)) == 6
+    tri_pendant = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    assert _spark_ktruss(spark, tri_pendant, 3) == {
+        ("a", "b"), ("a", "c"), ("b", "c")
+    }
+    # K4 is NOT a 5-truss; a square (no triangles) is empty at k=3
+    assert _spark_ktruss(spark, _k4(), 5) == set()
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    assert _spark_ktruss(spark, square, 3) == set()
+    # k<=2 returns every canonical edge
+    assert _spark_ktruss(spark, square, 2) == {
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")
+    }
+
+
+def test_ktruss_cascade_and_twin(spark):
+    # two K4s sharing one edge plus a chain of triangles hanging off:
+    # peeling the chain must cascade
+    edges = _k4("p") + _k4("q") + [("p0", "q0")]
+    edges += [("q0", "t1"), ("q1", "t1"), ("t1", "t2"), ("q1", "t2")]
+    for k in (3, 4):
+        assert _spark_ktruss(spark, edges, k) == _py_ktruss(edges, k)
+
+
+def test_ktruss_partitioning_and_validation(spark):
+    edges = _k4("x") + [("x0", "y"), ("y", "x1")]
+    a = _spark_ktruss(spark, edges, 3, n_parts=1)
+    b = _spark_ktruss(spark, edges, 3, n_parts=7)
+    assert a == b
+    import pytest as _pytest
+
+    from neo4j_export_tool_spark.operators.triangles import ktruss
+
+    df = spark.createDataFrame([("a", "b")], "a string, b string")
+    with _pytest.raises(ValueError):
+        ktruss(df, "a", "b", 0)
