@@ -32,12 +32,13 @@ from pyspark.sql import functions as F
 
 
 def _canonical(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
-    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).where(
-        F.col("a") != F.col("b")
+    # shared with the edge peel: one canonicalization for both
+    # cohesive-subgraph operators (k-core nodes, k-truss edges)
+    from neo4j_export_tool_spark.operators.triangles import (
+        _canonical_undirected,
     )
-    return e.select(
-        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).distinct()
+
+    return _canonical_undirected(edges, a_col, b_col)
 
 
 def _degrees(und: DataFrame) -> DataFrame:

@@ -30,20 +30,29 @@ from pyspark.sql import functions as F
 
 
 def _prepared_graph(
-    edges: DataFrame, src_col: str, dst_col: str, use_local_checkpoint: bool
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    use_local_checkpoint: bool,
+    weight_col: str | None = None,
 ):
-    """(e_deg, nodes) — the (src, dst, outdeg) edge table and the node
-    universe, both materialized for the iteration loop."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    """(e_aug, nodes) — the edge table augmented with the per-source
+    normalizer (outdeg, or the weight sum when ``weight_col`` is given)
+    and the node universe, both materialized for the iteration loop."""
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("w"))
+    e = edges.select(*cols)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(deg, "src")
+    if weight_col is None:
+        norm = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    else:
+        norm = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    e_deg = e.join(norm, "src")
     if use_local_checkpoint:
         e_deg = e_deg.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
@@ -88,6 +97,44 @@ def _pagerank_loop(
     return ranks
 
 
+def _finish_uniform(
+    e_aug: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int,
+    damping_pct: int,
+    base: int,
+    use_local_checkpoint: bool,
+    contrib_sql: str | None = None,
+) -> DataFrame:
+    """Shared tail of the uniform-teleport variants: empty-graph guard,
+    teleport/init, and the loop with the uniform rank rebuild."""
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank_int long"
+        )
+    teleport = (100 - damping_pct) * base // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(base // n).cast("long").alias("rank_int")
+    )
+    return _pagerank_loop(
+        e_aug,
+        nodes,
+        ranks,
+        n_iters,
+        damping_pct,
+        lambda joined: joined.select(
+            "node",
+            (
+                F.lit(teleport) + F.coalesce(F.col("inbound"), F.lit(0))
+            ).cast("long").alias("rank_int"),
+        ),
+        use_local_checkpoint,
+        contrib_sql=contrib_sql,
+    )
+
+
 def weighted_pagerank_int(
     edges: DataFrame,
     src_col: str,
@@ -116,54 +163,33 @@ def weighted_pagerank_int(
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(weight_col).cast("long").alias("w"),
-    )
+    # the safe weight ceiling depends on (base, damping_pct): the
+    # largest intermediate is ((rank*d) div 100) * w with rank <= base
+    # (mass only decays), so w_max = (2^63-1) div ((base*d) div 100)
+    w_cap = (2**63 - 1) // ((base * damping_pct) // 100)
+    w_long = F.col(weight_col).cast("long")
     chk = F.assert_true(
-        F.col("w").isNotNull() & (F.col("w") >= 1) & (F.col("w") <= 10**7),
+        F.col(weight_col).isNotNull()
+        # fractional weights would silently floor in the cast — reject
+        & (F.col(weight_col) == w_long)
+        & (w_long >= 1)
+        & (w_long <= w_cap),
         F.lit(
             "weighted_pagerank_int: weights must be integers in "
-            "[1, 10^7] (larger would overflow int64 at full rank mass)"
+            f"[1, {w_cap}] (ceiling derived from base/damping_pct: "
+            "larger would overflow int64 at full rank mass)"
         ),
     )
-    e = e.select("src", "dst", F.when(chk.isNull(), F.col("w")).alias("w"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    checked = edges.select(
+        F.col(src_col).alias("_ws"),
+        F.col(dst_col).alias("_wd"),
+        F.when(chk.isNull(), w_long).alias("w"),
     )
-    wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
-    e_w = e.join(wsum, "src")
-    if use_local_checkpoint:
-        e_w = e_w.localCheckpoint(eager=False)
-        nodes = nodes.localCheckpoint(eager=False)
-    else:
-        e_w = e_w.persist()
-        nodes = nodes.persist()
-
-    n = nodes.count()
-    if n == 0:
-        return edges.sparkSession.createDataFrame(
-            [], "node string, rank_int long"
-        )
-    teleport = (100 - damping_pct) * base // (100 * n)
-    ranks = nodes.select(
-        "node", F.lit(base // n).cast("long").alias("rank_int")
+    e_w, nodes = _prepared_graph(
+        checked, "_ws", "_wd", use_local_checkpoint, weight_col="w"
     )
-    return _pagerank_loop(
-        e_w,
-        nodes,
-        ranks,
-        n_iters,
-        damping_pct,
-        lambda joined: joined.select(
-            "node",
-            (
-                F.lit(teleport) + F.coalesce(F.col("inbound"), F.lit(0))
-            ).cast("long").alias("rank_int"),
-        ),
+    return _finish_uniform(
+        e_w, nodes, edges, n_iters, damping_pct, base,
         use_local_checkpoint,
         contrib_sql="((rank_int * {d}) div 100) * w div wsum",
     )
@@ -182,29 +208,8 @@ def pagerank_int(
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     e_deg, nodes = _prepared_graph(edges, src_col, dst_col, use_local_checkpoint)
-
-    n = nodes.count()
-    if n == 0:
-        return edges.sparkSession.createDataFrame(
-            [], "node string, rank_int long"
-        )
-    teleport = (100 - damping_pct) * base // (100 * n)
-    ranks = nodes.select(
-        "node", F.lit(base // n).cast("long").alias("rank_int")
-    )
-    return _pagerank_loop(
-        e_deg,
-        nodes,
-        ranks,
-        n_iters,
-        damping_pct,
-        lambda joined: joined.select(
-            "node",
-            (
-                F.lit(teleport) + F.coalesce(F.col("inbound"), F.lit(0))
-            ).cast("long").alias("rank_int"),
-        ),
-        use_local_checkpoint,
+    return _finish_uniform(
+        e_deg, nodes, edges, n_iters, damping_pct, base, use_local_checkpoint
     )
 
 

@@ -164,9 +164,17 @@ def ktruss(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    und = _canonical_undirected(edges, a_col, b_col)
-    if use_local_checkpoint:
-        und = und.localCheckpoint(eager=False)
+    def _mat(df):
+        # without a lineage cut each round's plan embeds the previous
+        # round ~6x (degree agg + wedge self-join + semi-join) — the
+        # persist fallback mirrors _prepared_graph's discipline
+        return (
+            df.localCheckpoint(eager=False)
+            if use_local_checkpoint
+            else df.persist()
+        )
+
+    und = _mat(_canonical_undirected(edges, a_col, b_col))
     if k <= 2:
         return und
     need = k - 2
@@ -198,15 +206,18 @@ def ktruss(
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("support"))
         )
-        keep = und.join(
-            credits.where(F.col("support") >= need).select("u", "v"),
-            ["u", "v"],
-            "left_semi",
+        keep = _mat(
+            und.join(
+                credits.where(F.col("support") >= need).select("u", "v"),
+                ["u", "v"],
+                "left_semi",
+            )
         )
-        if use_local_checkpoint:
-            keep = keep.localCheckpoint(eager=False)
         n_keep = keep.count()
-        if n_keep == n_prev:
+        # n_keep == 0 is also a fixpoint: an empty set cannot shrink —
+        # returning here avoids a spurious ceiling raise (and one empty
+        # enumeration round) when the peel empties on the last round
+        if n_keep in (n_prev, 0):
             return keep
         und, n_prev = keep, n_keep
     raise RuntimeError(
