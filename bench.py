@@ -714,6 +714,25 @@ def run_bench(sf_dir: str, cpus: int, flagship_only: bool = False, replicate: in
             3,
         )
 
+        # perf-only lane (round 6): HyperANF neighborhood function (h=3)
+        # over the shared concept graph (exactness pinned by
+        # tests/test_anf.py register twin at rel 1e-12)
+        from neo4j_export_tool_spark.operators.anf import (
+            neighborhood_function,
+        )
+
+        timings["hyperanf"] = round(
+            min(
+                _timed(
+                    lambda: _force(
+                        neighborhood_function(_g_sym, "c1", "c2", h=3, p=8)
+                    )
+                )
+                for _ in range(2)
+            ),
+            3,
+        )
+
         # perf-only lane (round 6): k-truss peel at k=3 over the shared
         # concept graph (exactness pinned by tests/test_triangles.py
         # python twin + closed forms)

@@ -1,0 +1,128 @@
+"""Approximate neighborhood function (HyperANF, Boldi-Vigna-Rosa,
+WWW 2011): |ball(v, h)| for every node and hop radius — the scalable
+way to ask "how big is each entity's h-hop neighborhood" and to read
+off the graph's effective diameter, where exact per-node BFS is
+O(n·edges) and hopeless at KG scale.
+
+Built from this repo's verified pieces: each node carries an HLL
+register SET (the `operators/sketches.py` register math — exact int64,
+bit-replayable) seeded with itself; one hop = push registers along
+edges + per-(node, bucket) max — the HLL merge, which is exactly set
+union in sketch space.  After h rounds node v's registers sketch the
+set ball(v, h), and the standard estimator reads the size.
+
+Representation: SPARSE (node, bucket, max_rho) rows, not per-node
+arrays — the propagation is then one equi-join + one keyed max per
+hop, the same shuffle shape as PageRank, and register count per node
+is bounded by min(|ball|, 2^p).  All register arithmetic is integer
+and deterministic (python twin in tests); only the final size estimate
+is float (per-node sorted fold, bit-stable).
+
+Scale shape per hop: registers ⋈ edges (shuffle keyed by node) + one
+(node, bucket) max agg; localCheckpoint lineage cuts.  Total state =
+Σ_v min(|ball(v,h)|, 2^p) rows — the fixed-size-sketch guarantee that
+makes ANF feasible where exact closure is not (`transitive_closure`
+materializes every PAIR; this materializes 2^p registers per node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_export_tool_spark.operators.sketches import _HASH_BITS, _alpha
+from neo4j_export_tool_spark.functions.similarity import shingle_hash_col
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    h: int = 4,
+    p: int = 8,
+    salt: str = "anf",
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """(node, hop, ball_size) for hop in [0, h]: the estimated number
+    of distinct nodes within ``hop`` hops of ``node`` (itself
+    included), following edge direction.  Relative error ≈ 1.04/√(2^p)
+    per estimate (p=8 → ~6.5%).  The per-hop register tables are a
+    pure integer function of (graph, p, salt); estimates are per-node
+    sorted folds (bit-stable).  Averaging ``ball_size`` over nodes per
+    hop gives the neighborhood function; the smallest hop whose mean
+    ball covers ~90% of the final mean is the effective diameter.
+    """
+    if h < 0:
+        raise ValueError("h must be >= 0")
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12] (sparse-register regime)")
+    m = 1 << p
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    if use_local_checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # seed: every node's sketch contains exactly itself (the sketches.py
+    # register math, inlined on the node id)
+    hh = shingle_hash_col(F.concat(F.lit(salt + ":"), F.col("node")))
+    w = F.shiftright(hh, p)
+    rho = F.when(w == 0, F.lit(_HASH_BITS - p + 1)).otherwise(
+        F.lit(_HASH_BITS - p + 1) - F.length(F.conv(w, 10, 2))
+    )
+    regs = nodes.select(
+        "node",
+        (hh % F.lit(m)).cast("long").alias("bucket"),
+        rho.cast("long").alias("max_rho"),
+    )
+
+    def _estimates(r: DataFrame, hop: int) -> DataFrame:
+        alpha = _alpha(m)
+        agg = r.groupBy("node").agg(
+            F.sort_array(
+                F.collect_list(F.struct("bucket", "max_rho"))
+            ).alias("_regs")
+        ).select(
+            "node",
+            F.aggregate(
+                "_regs",
+                F.lit(0.0),
+                lambda acc, x: acc + F.pow(F.lit(2.0), -x["max_rho"]),
+            ).alias("_sum"),
+            F.size("_regs").alias("_set"),
+        )
+        zeros = (F.lit(m) - F.col("_set")).cast("double")
+        raw = F.lit(alpha * m * m) / (F.col("_sum") + zeros)
+        linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
+        ).otherwise(raw)
+        return agg.select(
+            "node", F.lit(hop).alias("hop"), est.alias("ball_size")
+        )
+
+    out = _estimates(regs, 0)
+    for hop in range(1, h + 1):
+        if use_local_checkpoint:
+            regs = regs.localCheckpoint(eager=False)
+            out = out.localCheckpoint(eager=False)
+        pushed = (
+            regs.join(e, regs["node"] == e["dst"])
+            .select(F.col("src").alias("node"), "bucket", "max_rho")
+        )
+        regs = (
+            regs.unionByName(pushed)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        out = out.unionByName(_estimates(regs, hop))
+    return out
