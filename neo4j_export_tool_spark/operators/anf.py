@@ -30,8 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from neo4j_export_tool_spark.operators.sketches import _HASH_BITS, _alpha
-from neo4j_export_tool_spark.functions.similarity import shingle_hash_col
+from neo4j_export_tool_spark.operators.sketches import (
+    estimate_over_regs,
+    register_cols,
+)
 
 
 def neighborhood_function(
@@ -65,64 +67,56 @@ def neighborhood_function(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
-    if use_local_checkpoint:
-        e = e.localCheckpoint(eager=False)
+    def _mat(df):
+        return (
+            df.localCheckpoint(eager=False)
+            if use_local_checkpoint
+            else df.persist()
+        )
+
+    e = _mat(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # seed: every node's sketch contains exactly itself (the sketches.py
-    # register math, inlined on the node id)
-    hh = shingle_hash_col(F.concat(F.lit(salt + ":"), F.col("node")))
-    w = F.shiftright(hh, p)
-    rho = F.when(w == 0, F.lit(_HASH_BITS - p + 1)).otherwise(
-        F.lit(_HASH_BITS - p + 1) - F.length(F.conv(w, 10, 2))
-    )
-    regs = nodes.select(
-        "node",
-        (hh % F.lit(m)).cast("long").alias("bucket"),
-        rho.cast("long").alias("max_rho"),
+    # seed: every node's sketch contains exactly itself (the shared
+    # sketches.py register math, applied to the node id)
+    bucket, rho = register_cols(F.col("node"), p, salt)
+    regs = _mat(
+        nodes.select(
+            "node", bucket.alias("bucket"), rho.alias("max_rho")
+        )
     )
 
     def _estimates(r: DataFrame, hop: int) -> DataFrame:
-        alpha = _alpha(m)
         agg = r.groupBy("node").agg(
             F.sort_array(
                 F.collect_list(F.struct("bucket", "max_rho"))
             ).alias("_regs")
-        ).select(
-            "node",
-            F.aggregate(
-                "_regs",
-                F.lit(0.0),
-                lambda acc, x: acc + F.pow(F.lit(2.0), -x["max_rho"]),
-            ).alias("_sum"),
-            F.size("_regs").alias("_set"),
         )
-        zeros = (F.lit(m) - F.col("_set")).cast("double")
-        raw = F.lit(alpha * m * m) / (F.col("_sum") + zeros)
-        linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
-        est = F.when(
-            (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
-        ).otherwise(raw)
+        est = estimate_over_regs(F.col("_regs"), F.size("_regs"), m)
         return agg.select(
             "node", F.lit(hop).alias("hop"), est.alias("ball_size")
         )
 
-    out = _estimates(regs, 0)
+    # per-hop estimate frames collected and unioned ONCE at the end:
+    # regs is materialized per hop (below, BEFORE being referenced by
+    # the estimate) so each hop's propagation join runs exactly once,
+    # and the output union has no lineage worth checkpointing
+    per_hop = [_estimates(regs, 0)]
     for hop in range(1, h + 1):
-        if use_local_checkpoint:
-            regs = regs.localCheckpoint(eager=False)
-            out = out.localCheckpoint(eager=False)
         pushed = (
             regs.join(e, regs["node"] == e["dst"])
             .select(F.col("src").alias("node"), "bucket", "max_rho")
         )
-        regs = (
+        regs = _mat(
             regs.unionByName(pushed)
             .groupBy("node", "bucket")
             .agg(F.max("max_rho").alias("max_rho"))
         )
-        out = out.unionByName(_estimates(regs, hop))
+        per_hop.append(_estimates(regs, hop))
+    out = per_hop[0]
+    for frame in per_hop[1:]:
+        out = out.unionByName(frame)
     return out

@@ -52,6 +52,42 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def register_cols(value, p: int, salt: str):
+    """(bucket, rho) register columns for a value expression — THE
+    shared HLL register math (also consumed by `operators/anf.py`).
+
+    bucket = low p bits of the 60-bit md5; rho = 1 + leading zeros of
+    the remaining bits.  Two exactness traps live here, once:
+    ``shiftright`` not ``/`` (double division loses bits above 2^53),
+    and bit length via ``length(conv(w, 10, 2))`` (float log2 misrounds
+    at 2^k boundaries)."""
+    m = 1 << p
+    h = shingle_hash_col(F.concat(F.lit(salt + ":"), value.cast("string")))
+    w = F.shiftright(h, p)
+    bit_len = F.length(F.conv(w, 10, 2))
+    rho = F.when(w == 0, F.lit(_HASH_BITS - p + 1)).otherwise(
+        F.lit(_HASH_BITS - p + 1) - bit_len
+    )
+    return (h % F.lit(m)).cast("long"), rho.cast("long")
+
+
+def estimate_over_regs(sorted_regs, n_set, m: int):
+    """HLL size estimate from a bucket-sorted array of (bucket, max_rho)
+    structs plus the set-register count — the raw alpha_m correction
+    with the linear-counting switch below 2.5·m (shared with
+    `operators/anf.py`; the float fold order is the sorted array's, so
+    the estimate is a pure function of the registers)."""
+    total = F.aggregate(
+        sorted_regs,
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r["max_rho"]),
+    )
+    zeros = (F.lit(m) - n_set).cast("double")
+    raw = F.lit(_alpha(m) * m * m) / (total + zeros)
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    return F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+
+
 def hll_registers(
     df: DataFrame, col: str, p: int = 12, salt: str = "hll"
 ) -> DataFrame:
@@ -64,26 +100,10 @@ def hll_registers(
     """
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
-    m = 1 << p
-    h = shingle_hash_col(
-        F.concat(F.lit(salt + ":"), F.col(col).cast("string"))
-    )
-    # remaining 60-p bits; shiftright, NOT `/` (double division loses
-    # bits above 2^53 for a 60-bit hash)
-    w = F.shiftright(h, p)
-    # bit_length(w) = length of the binary representation, exact for any
-    # int64 (float log2 misrounds at 2^k boundaries); w == 0 → rho is
-    # the full remainder width + 1
-    bit_len = F.length(F.conv(w, 10, 2))
-    rho = F.when(w == 0, F.lit(_HASH_BITS - p + 1)).otherwise(
-        F.lit(_HASH_BITS - p + 1) - bit_len
-    )
+    bucket, rho = register_cols(F.col(col), p, salt)
     return (
         df.where(F.col(col).isNotNull())
-        .select(
-            (h % F.lit(m)).cast("long").alias("bucket"),
-            rho.cast("long").alias("rho"),
-        )
+        .select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
@@ -110,17 +130,12 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
     m = 1 << p
-    alpha = _alpha(m)
     agg = registers.agg(
         F.sort_array(
             F.collect_list(F.struct("bucket", "max_rho"))
         ).alias("_regs")
     ).select(
-        F.aggregate(
-            "_regs",
-            F.lit(0.0),
-            lambda acc, r: acc + F.pow(F.lit(2.0), -r["max_rho"]),
-        ).alias("_sum_present"),
+        F.col("_regs"),
         F.size("_regs").alias("registers_set"),
         F.coalesce(
             F.array_max(F.transform("_regs", lambda r: r["max_rho"])),
@@ -138,13 +153,12 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
             "(built with a different precision?)"
         ),
     )
-    zeros = F.when(chk.isNull(), F.lit(m)) - F.col("registers_set")
-    raw = F.lit(alpha * m * m) / (F.col("_sum_present") + zeros.cast("double"))
-    # linear counting when the raw estimate is small and zeros remain
-    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
-    ).otherwise(raw)
+    est = estimate_over_regs(
+        F.col("_regs"),
+        # the consistency assert rides inside the used expression
+        F.when(chk.isNull(), F.col("registers_set")),
+        m,
+    )
     return agg.select(est.alias("estimate"), "registers_set")
 
 

@@ -101,7 +101,10 @@ def test_estimates_and_monotonicity(spark):
             est = got[(v, hop)]
             # p=8 → σ≈6.5%; small balls near-exact via linear counting
             assert est == pytest.approx(len(ball), rel=0.25, abs=1.5)
-            assert est >= prev - 1e-9  # balls only grow
+            # monotonicity holds within one estimator regime; these
+            # graphs (<=29 nodes, m=256) stay in linear counting, where
+            # growing registers strictly grow the estimate
+            assert est >= prev - 1e-9
             prev = est
 
 
@@ -127,6 +130,23 @@ def test_partitioning_independent_bit_equal(spark):
         for r in neighborhood_function(
             spark.createDataFrame(edges, "s string, d string").repartition(7),
             "s", "d", h=2, p=6,
+        ).collect()
+    }
+    assert a == b  # exact ==, float bits included
+
+
+def test_persist_path_bit_identical(spark):
+    edges = [(f"n{i}", f"n{(i * 3 + 2) % 11}") for i in range(11)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "s string, d string")
+    a = {
+        (r.node, r.hop): r.ball_size
+        for r in neighborhood_function(df, "s", "d", h=2, p=6).collect()
+    }
+    b = {
+        (r.node, r.hop): r.ball_size
+        for r in neighborhood_function(
+            df, "s", "d", h=2, p=6, use_local_checkpoint=False
         ).collect()
     }
     assert a == b  # exact ==, float bits included
