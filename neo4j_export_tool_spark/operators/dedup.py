@@ -56,10 +56,60 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 def _shingle_sets(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    return df.select(
+    from neo4j_export_tool_spark.functions.partitioning import fan_out
+
+    toks = tokens_col(F.col(text_col))
+    # The non-empty-set filter expressed on the RAW text, not on the
+    # computed shingle column: Catalyst pushes a filter on a computed
+    # column below the exchange by substituting the full expression, so
+    # the old ``size(shingles) > 0`` form evaluated the entire shingle
+    # build twice — once single-threaded on the scan side (measured: the
+    # whole corpus shingled inside one map task) and again above.  For
+    # word n-grams the set is empty iff the doc has fewer than n tokens
+    # (n=1: split() never yields an empty array), so the cheap predicate
+    # is exactly equivalent.
+    keep = F.col(text_col).isNotNull()
+    if shingle_n > 1:
+        keep = keep & (F.size(toks) >= shingle_n)
+    return fan_out(df.filter(keep), key=id_col).select(
         F.col(id_col).alias("doc"),
-        word_shingles_col(tokens_col(F.col(text_col)), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+        word_shingles_col(toks, shingle_n).alias("shingles"),
+    )
+
+
+def _verify_candidate_pairs(
+    candidates: DataFrame, sets: DataFrame, threshold_pct: int
+) -> DataFrame:
+    """Exact-Jaccard verify of a candidate-pair table against the shingle
+    sets: (doc_a, doc_b, shared, n_a, n_b) at the integer threshold.
+
+    The PAIR side is the explicit build side of both hash joins.  The
+    shingle-set table is corpus-sized (every document's full shingle
+    array); the candidate table holds two ids per near-dup candidate —
+    orders of magnitude smaller on any real corpus.  Left to the planner,
+    a stats-free (checkpointed) sets input was broadcast instead, which
+    collects the whole corpus's shingle arrays to the driver — wrong at
+    every scale and measured 2× slower even locally."""
+    sh = sets.select("doc", "shingles")
+    half = F.broadcast(candidates).join(
+        sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
+    )
+    return (
+        F.broadcast(half)
+        .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("shared"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(
+            100 * F.col("shared")
+            >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .select("doc_a", "doc_b", "shared", "n_a", "n_b")
+    )
 
 
 
@@ -358,26 +408,8 @@ def minhash_lsh_pairs_from_sets(
         .distinct()
     )
 
-    # exact verification on the candidate set only
-    sh = sets.select("doc", "shingles")
-    verified = (
-        candidates.join(
-            sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
-        )
-        .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("shared"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
-        )
-        .filter(
-            100 * F.col("shared")
-            >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("shared"))
-        )
-    )
-    return verified
+    # exact verification on the candidate set only (pair side = build side)
+    return _verify_candidate_pairs(candidates, sets, threshold_pct)
 
 
 def simhash_fingerprints(
@@ -730,7 +762,11 @@ def jaccard_pairs_prefix(
     sizes = sets.select("doc", F.size("shingles").alias("n"))
     posting = sets.select("doc", F.explode("shingles").alias("shingle"))
     dfc = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    prefix = (
+    # the prefix table feeds BOTH sides of the candidate self-join —
+    # materialize it, or the whole build (posting explode, df agg+join,
+    # per-doc rank window) is evaluated once per side (measured: the r7
+    # plan audit showed the entire subtree duplicated, ~2× the lane)
+    prefix = _materialize(
         posting.join(dfc, "shingle")
         .join(sizes, "doc")
         .withColumn(
@@ -745,7 +781,8 @@ def jaccard_pairs_prefix(
             - F.expr(f"(({threshold_pct} * n) + 99) div 100")
             + F.lit(1)
         )
-        .select("doc", "shingle")
+        .select("doc", "shingle"),
+        use_local_checkpoint,
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -758,22 +795,4 @@ def jaccard_pairs_prefix(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sh = sets.select("doc", "shingles")
-    verified = (
-        candidates.join(
-            sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
-        )
-        .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("shared"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
-        )
-        .filter(
-            100 * F.col("shared")
-            >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("shared"))
-        )
-    )
-    return verified
+    return _verify_candidate_pairs(candidates, sets, threshold_pct)
