@@ -28,6 +28,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SCAN_KEYS = {"documents": "doc_id", "events": "event_id",
+              "embeddings": "vec_id", "lineitem": "l_orderkey"}
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`_t` + conditional fan-out (guide §2.5): the driver tables are
+    single-row-group parquet, so a scan is ONE partition and per-row-heavy
+    lanes would run on one core.  Used only by lanes whose per-row compute
+    dominates; `fan_out` is a no-op on an already-parallel scan."""
+    from neo4j_export_tool_spark.functions.partitioning import fan_out
+
+    return fan_out(_t(spark, sf_dir, name), key=_SCAN_KEYS.get(name))
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     """The driver passes its OWN SparkSession; ship the package to its
     executors once so pandas-UDF closures resolve regardless of the worker
@@ -263,7 +277,7 @@ def _q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (md5-derived bit votes, engine-portable)."""
     from neo4j_export_tool_spark.operators.dedup import simhash_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return (
         simhash_fingerprints(docs, "text", "doc_id")
         .withColumnRenamed("doc", "doc_id")
@@ -316,7 +330,7 @@ def _q18_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_video_samples,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -350,6 +364,7 @@ def _q18_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_idx", "dts_ticks", "keyframe_flag", "n_bytes",
             "byte_sum", "width", "height", "duration_ms",
         )
+        .localCheckpoint(eager=False)  # sort sampling must not re-demux
         .orderBy("doc_id", "sample_idx")
     )
 
@@ -368,7 +383,7 @@ def _q19_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_metrics,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     qm = quality_metrics(F.col("text"))
     return docs.select(
         "doc_id",
@@ -572,19 +587,29 @@ def _q31_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # every payload field is a pure function of (doc_id % 2,
+        # doc_id % 251) — memoize the encoder per task (recomputed every
+        # run; this is within-query pure-function memoization, not a
+        # result cache).  The decode side stays per-payload.
+        memo: dict[tuple[int, int], bytes] = {}
         for pdf in batches:
             mids, payloads = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                rgb = bytes([d % 251, (d * 7) % 251, (d * 13) % 251])
+                key = (d % 2, d % 251)
+                p = memo.get(key)
+                if p is None:
+                    rgb = bytes([d % 251, (d * 7) % 251, (d * 13) % 251])
+                    p = memo[key] = (
+                        encode_jpeg(8, 8, rgb * 64, quality=100)
+                        if d % 2
+                        else encode_ppm(2, 2, rgb * 4)
+                    )
                 mids.append(str(d))
-                if d % 2:
-                    payloads.append(encode_jpeg(8, 8, rgb * 64, quality=100))
-                else:
-                    payloads.append(encode_ppm(2, 2, rgb * 4))
+                payloads.append(p)
             yield pd.DataFrame({"media_id": mids, "payload": payloads})
 
     media = docs.mapInPandas(build, schema="media_id string, payload binary")
@@ -594,6 +619,9 @@ def _q31_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("media_id").cast("long").alias("doc_id"),
             "width", "height", "mean_r", "mean_g", "mean_b",
         )
+        # tiny result; materialize so the sort's range-sampling pass does
+        # not re-run the Python decode stage (one eval instead of two)
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
@@ -610,18 +638,23 @@ def _q32_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_features,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # payload is a pure function of (doc_id % 5, doc_id % 100) —
+        # per-task memo of the encoder (within-query, recomputed each run)
+        memo: dict[tuple[int, int], bytes] = {}
         for pdf in batches:
             mids, payloads = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                n = 800 * (d % 5 + 1)
+                key = (d % 5, d % 100)
+                p = memo.get(key)
+                if p is None:
+                    n = 800 * (d % 5 + 1)
+                    p = memo[key] = encode_wav([d % 100] * n, sample_rate=8000)
                 mids.append(str(d))
-                payloads.append(
-                    encode_wav([d % 100] * n, sample_rate=8000)
-                )
+                payloads.append(p)
             yield pd.DataFrame({"media_id": mids, "payload": payloads})
 
     media = docs.mapInPandas(build, schema="media_id string, payload binary")
@@ -631,6 +664,7 @@ def _q32_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("media_id").cast("long").alias("doc_id"),
             "sample_rate", "n_channels", "n_frames", "duration_ms",
         )
+        .localCheckpoint(eager=False)  # sort sampling must not re-decode
         .orderBy("doc_id")
     )
 
@@ -822,7 +856,7 @@ def _q37_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches.  Oracle runs the SAME patterns (Java-regex ∩ RE2 subset)."""
     from neo4j_export_tool_spark.functions.scrub import pii_scrub
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     # F.concat, not concat_ws: concat_ws SKIPS nulls while the oracle's
     # `||` nulls the whole string — a null text must diverge identically
     seeded = docs.select(
@@ -854,7 +888,7 @@ def _q38_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_token_counts,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     m = repetition_2gram_metrics(F.col("text"))
     per_doc = docs.select("doc_id", *[c.alias(n) for n, c in m.items()])
     top = top_token_counts(docs, "text", "doc_id")
@@ -880,7 +914,7 @@ def _q40_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees a benchmark."""
     from neo4j_export_tool_spark.operators.decontaminate import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
     return decontaminate(docs, eval_docs, shingle_n=5).orderBy("doc_id")
 
@@ -1076,7 +1110,7 @@ def _q46_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(line,) for line in seed_corpus_lines()], "text string"
     )
     merges = learn_bpe(seed, n_merges=24)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return encode_bpe(docs, merges).orderBy("doc_id")
 
 
@@ -1136,19 +1170,29 @@ def _q48_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
+    # NB: no fan-out here — the PNG encode/decode python cost is small
+    # enough that the extra exchange + 32-task python stages cost more
+    # than the spread saves (measured 0.74 s → 1.14 s with fan-out)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # payload is a pure function of (doc_id % 3, doc_id % 251) —
+        # per-task memo of the encoder (within-query, recomputed each run)
+        memo: dict[tuple[int, int], bytes] = {}
         for pdf in batches:
             mids, payloads = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                r, g, b = d % 251, (d * 7) % 251, (d * 13) % 251
-                ct = (0, 2, 6)[d % 3]
-                px = {0: bytes([r]), 2: bytes([r, g, b]),
-                      6: bytes([r, g, b, 255])}[ct]
+                key = (d % 3, d % 251)
+                p = memo.get(key)
+                if p is None:
+                    r, g, b = d % 251, (d * 7) % 251, (d * 13) % 251
+                    ct = (0, 2, 6)[d % 3]
+                    px = {0: bytes([r]), 2: bytes([r, g, b]),
+                          6: bytes([r, g, b, 255])}[ct]
+                    p = memo[key] = encode_png(3, 2, px * 6, ct)
                 mids.append(str(d))
-                payloads.append(encode_png(3, 2, px * 6, ct))
+                payloads.append(p)
             yield pd.DataFrame({"media_id": mids, "payload": payloads})
 
     media = docs.mapInPandas(build, schema="media_id string, payload binary")
@@ -1158,6 +1202,7 @@ def _q48_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("media_id").cast("long").alias("doc_id"),
             "width", "height", "mean_r", "mean_g", "mean_b",
         )
+        .localCheckpoint(eager=False)  # sort sampling must not re-decode
         .orderBy("doc_id")
     )
 
@@ -1170,7 +1215,7 @@ def _q49_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-back; integer/string exact, so the DuckDB twin is the oracle."""
     from neo4j_export_tool_spark.operators.dedup import duplicated_ngram_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return (
         duplicated_ngram_spans(docs, "text", "doc_id", n=12, min_docs=2)
         .withColumnRenamed("doc", "doc_id")

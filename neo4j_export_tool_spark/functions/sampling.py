@@ -159,7 +159,14 @@ def negative_samples(
     bump_tbl = pool_tbl.select(
         F.col("idx").alias("_bidx"), F.col("pobj").alias("_bump")
     )
-    joined = cand_side.join(cand_tbl, "_idx").join(bump_tbl, "_bidx")
+    # broadcast the pool side when the MEASURED pool size fits (guide
+    # §3.1) — the planner cannot decide this itself: the indexed pool
+    # sits behind a localCheckpoint with unknown size statistics, so it
+    # falls back to two sort-merge shuffles of the corpus-sized triple
+    # table even against a 23-entry pool.  Above the ceiling (a 10⁸–10⁹
+    # entity vocabulary) the shuffle-join shape is kept unchanged.
+    _b = F.broadcast if n <= 500_000 else (lambda df: df)
+    joined = cand_side.join(_b(cand_tbl), "_idx").join(_b(bump_tbl), "_bidx")
     neg = F.when(
         F.col("_cand") == F.col("obj"), F.col("_bump")
     ).otherwise(F.col("_cand"))

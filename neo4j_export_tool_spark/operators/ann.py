@@ -56,7 +56,11 @@ def brute_force_topk(
             norm_sq_col(F.col(vec_col), dim).alias("q_nsq"),
         )
     )
-    it = items.select(
+    from neo4j_export_tool_spark.functions.partitioning import fan_out
+
+    # the per-item unrolled dot products are the lane's whole cost — an
+    # under-split items scan would run them on one core (guide §2.5)
+    it = fan_out(items, key=id_col).select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).alias("i_vec"),
         norm_sq_col(F.col(vec_col), dim).alias("i_nsq"),
@@ -198,7 +202,9 @@ def hyperplane_lsh_pairs(
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, cosine double"
         )
-    sig = df.select(
+    from neo4j_export_tool_spark.functions.partitioning import fan_out
+
+    sig = fan_out(df, key=id_col).select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
     ).filter(F.col("v").isNotNull())
     sig = _signature_table(sig, n_planes, n_tables, dim, seed=7)

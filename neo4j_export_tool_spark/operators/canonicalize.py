@@ -28,10 +28,14 @@ def surface_alias_pairs(
     char_n: int = 3,
 ) -> DataFrame:
     """(surface_a, surface_b) alias-candidate pairs by char-shingle Jaccard."""
-    sets = surfaces.select(
+    # non-empty-set filter on the RAW column (char shingles are non-empty
+    # for every non-null string: short surfaces shingle to themselves) —
+    # a filter on the computed column would be pushed below the exchange
+    # and evaluate the shingle build twice (the q13/q55 pushdown trap)
+    sets = surfaces.filter(F.col(surface_col).isNotNull()).select(
         F.col(surface_col).alias("doc"),
         char_shingles_col(F.lower(F.col(surface_col)), char_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
     pairs = minhash_lsh_pairs_from_sets(sets, threshold_pct=threshold_pct)
     return pairs.select(
         F.col("doc_a").alias("surface_a"), F.col("doc_b").alias("surface_b")

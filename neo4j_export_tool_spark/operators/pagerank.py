@@ -62,6 +62,17 @@ def _prepared_graph(
     return e_deg, nodes
 
 
+# Node ceiling under which the per-round rank table is broadcast instead
+# of shuffle-joined (guide §3.1: broadcast the side that fits).  A rank
+# row is a node id + one int64 (~≤128 B framed), so 500k nodes ≈ the
+# session's 64 MB auto-broadcast threshold.  The planner cannot make this
+# call itself: the per-round tables sit behind localCheckpoint boundaries
+# whose size statistics are unknown, so it falls back to sort-merge joins
+# (2 exchanges per round) even on a 500-node graph.  Above the ceiling —
+# any real web-scale graph — the loop keeps the shuffle-join shape.
+_BROADCAST_RANKS_MAX_NODES = 500_000
+
+
 def _pagerank_loop(
     e_deg: DataFrame,
     nodes: DataFrame,
@@ -71,19 +82,24 @@ def _pagerank_loop(
     new_rank,
     use_local_checkpoint: bool,
     contrib_sql: str | None = None,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """The shared PR recurrence: per round one rank⋈edges join + one
     int64 inbound sum, then ``new_rank(nodes ⟕ contribs)`` rebuilds the
     (node, rank_int) table (uniform teleport for PR, seed-targeted for
     PPR); lineage cut per round.  ``contrib_sql`` overrides the
     per-edge transfer expression (weighted variant); ``{d}`` is
-    substituted with damping_pct."""
+    substituted with damping_pct.  ``broadcast_ranks`` (decided by the
+    callers from the measured node count) replaces both per-round
+    shuffle joins with broadcasts of the node-sized tables — results are
+    identical (int64 sums are order-independent)."""
     contrib_sql = (contrib_sql or "rank_int * {d} div (100 * outdeg)").format(
         d=damping_pct
     )
+    _b = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(n_iters):
         contribs = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
+            e_deg.join(_b(ranks), e_deg.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr(contrib_sql).alias("c"),
@@ -91,7 +107,7 @@ def _pagerank_loop(
             .groupBy("node")
             .agg(F.sum("c").alias("inbound"))
         )
-        ranks = new_rank(nodes.join(contribs, "node", "left"))
+        ranks = new_rank(nodes.join(_b(contribs), "node", "left"))
         if use_local_checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
@@ -132,6 +148,7 @@ def _finish_uniform(
         ),
         use_local_checkpoint,
         contrib_sql=contrib_sql,
+        broadcast_ranks=n <= _BROADCAST_RANKS_MAX_NODES,
     )
 
 
@@ -274,7 +291,12 @@ def personalized_pagerank_int(
         )
     teleport = (100 - damping_pct) * base // (100 * s)
 
-    ranks = nodes.join(marker, "node", "left").select(
+    n = nodes.count()
+    bcast = n <= _BROADCAST_RANKS_MAX_NODES
+    # the seed marker is |S|-sized (≤ nodes); behind a checkpoint its
+    # stats are unknown, so broadcast it explicitly under the same ceiling
+    _bm = F.broadcast if bcast else (lambda df: df)
+    ranks = nodes.join(_bm(marker), "node", "left").select(
         "node",
         F.when(F.col("_seed") == 1, F.lit(base // s))
         .otherwise(0)
@@ -287,7 +309,7 @@ def personalized_pagerank_int(
         ranks,
         n_iters,
         damping_pct,
-        lambda joined: joined.join(marker, "node", "left").select(
+        lambda joined: joined.join(_bm(marker), "node", "left").select(
             "node",
             (
                 F.when(F.col("_seed") == 1, F.lit(teleport)).otherwise(0)
@@ -295,6 +317,7 @@ def personalized_pagerank_int(
             ).cast("long").alias("rank_int"),
         ),
         use_local_checkpoint,
+        broadcast_ranks=bcast,
     )
 
 
