@@ -51,6 +51,9 @@ def _ensure_shipped(spark: SparkSession) -> None:
     ensure_package_shipped(spark)
 
 
+
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship KG construction
 # ---------------------------------------------------------------------------
@@ -170,7 +173,7 @@ def _q07_rel_identity_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("element_id").alias("rel_identity_hash"),
         "start_node_content_hash",
         "end_node_content_hash",
-    ).orderBy("start_element_id", "end_element_id")
+    ).localCheckpoint(eager=False).orderBy("start_element_id", "end_element_id")
 
 
 def _q08_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,9 +182,7 @@ def _q08_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_export_tool_spark.plans.flagship import doc_mentions, load_documents
 
     m = doc_mentions(load_documents(spark, sf_dir))
-    return m.select("doc_id", "concept", "n_occurrences", "first_offset").orderBy(
-        "doc_id", "concept"
-    )
+    return m.select("doc_id", "concept", "n_occurrences", "first_offset").localCheckpoint(eager=False).orderBy("doc_id", "concept")
 
 
 def _q09_counts_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +233,7 @@ def _q12_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_ws(F.col("text")).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def _q13_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +245,7 @@ def _q13_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return jaccard_pairs(
         docs, "text", "doc_id", threshold_pct=60, shingle_n=3, max_shingle_df=20
-    ).orderBy("doc_a", "doc_b")
+    ).localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 def _q14_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,7 +256,7 @@ def _q14_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "text", "doc_id", threshold_pct=60, shingle_n=3
-    ).orderBy("doc_a", "doc_b")
+    ).localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 def _q55_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,7 +271,7 @@ def _q55_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return jaccard_pairs_prefix(
         docs, "text", "doc_id", threshold_pct=60, shingle_n=3
-    ).orderBy("doc_a", "doc_b")
+    ).localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 def _q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,7 +282,7 @@ def _q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         simhash_fingerprints(docs, "text", "doc_id")
         .withColumnRenamed("doc", "doc_id")
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -290,9 +291,7 @@ def _q16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_export_tool_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "embedding", "vec_id", min_cosine=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", min_cosine=0.5).localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def _q17_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,9 +300,7 @@ def _q17_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5).orderBy(
-        "query_id", "rank"
-    )
+    return brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5).localCheckpoint(eager=False).orderBy("query_id", "rank")
 
 
 def _q18_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,7 +387,7 @@ def _q19_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_col(F.col("text")).alias("lang_pred"),
         *[c.alias(k) for k, c in qm.items()],
         fingerprint_col(F.col("text")).alias("fingerprint"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def _q23_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,7 +408,7 @@ def _q23_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ).alias("running_c"),
         )
-        .orderBy("event_id")
+        .localCheckpoint(eager=False).orderBy("event_id")
     )
 
 
@@ -432,7 +429,7 @@ def _q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .alias("session_seq"),
         )
-        .orderBy("event_id")
+        .localCheckpoint(eager=False).orderBy("event_id")
     )
 
 
@@ -459,7 +456,7 @@ def _q25_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("component", F.col("doc_id")).alias("component"),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -500,7 +497,7 @@ def _q27_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hyperplane_lsh_pairs(
         aug, "embedding", "vec_id", min_cosine=0.99, dim=64
-    ).orderBy("id_a", "id_b")
+    ).localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def _q28_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,7 +526,7 @@ def _q28_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         linked.filter(F.col("kb_id").isNotNull())
         .select("doc_id", "surface", "kb_id")
-        .orderBy("doc_id", "surface")
+        .localCheckpoint(eager=False).orderBy("doc_id", "surface")
     )
 
 
@@ -546,9 +543,7 @@ def _q29_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = canonicalize_surfaces(
         mentions.select(F.col("concept").alias("surface")), threshold_pct=45
     )
-    return out.select("surface", "canonical_surface", "cluster_size").orderBy(
-        "surface"
-    )
+    return out.select("surface", "canonical_surface", "cluster_size").localCheckpoint(eager=False).orderBy("surface")
 
 
 def _q30_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,7 +871,7 @@ def _q37_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = pii_scrub(F.col("text"))
     return seeded.select(
         "doc_id", *[c.alias(n) for n, c in cols.items()]
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def _q38_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,7 +890,7 @@ def _q38_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_doc.join(top, per_doc["doc_id"] == top["doc"])
         .drop("doc")
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -916,7 +911,7 @@ def _q40_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
-    return decontaminate(docs, eval_docs, shingle_n=5).orderBy("doc_id")
+    return decontaminate(docs, eval_docs, shingle_n=5).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def _q41_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,7 +967,7 @@ def _q42_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_pct",
             portable_bucket(F.col("doc_id")).alias("bucket"),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 
@@ -1009,9 +1004,7 @@ def _q43_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return incremental_mention_delta(old_docs, new_docs).orderBy(
-        "doc_id", "concept", "op"
-    )
+    return incremental_mention_delta(old_docs, new_docs).localCheckpoint(eager=False).orderBy("doc_id", "concept", "op")
 
 
 def _q44_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,7 +1065,7 @@ def _q44_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "start_element_id", "end_element_id", "start_node_content_hash"
         )
-        .orderBy("start_element_id", "end_element_id")
+        .localCheckpoint(eager=False).orderBy("start_element_id", "end_element_id")
     )
 
 
@@ -1085,9 +1078,7 @@ def _q45_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_export_tool_spark.functions.quantize import scalar_quantize
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return scalar_quantize(emb, "embedding", "vec_id", levels=64).orderBy(
-        "vec_id", "pos"
-    )
+    return scalar_quantize(emb, "embedding", "vec_id", levels=64).localCheckpoint(eager=False).orderBy("vec_id", "pos")
 
 
 def _q46_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,7 +1102,7 @@ def _q46_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = learn_bpe(seed, n_merges=24)
     docs = _tp(spark, sf_dir, "documents")
-    return encode_bpe(docs, merges).orderBy("doc_id")
+    return encode_bpe(docs, merges).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def _q47_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1149,7 +1140,7 @@ def _q47_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = emb.unionByName(copies)
     return ivf_topk(
         items, qs, "embedding", "vec_id", k=3, n_cells=8, n_probe=2, n_iters=2
-    ).orderBy("query_id", "rank")
+    ).localCheckpoint(eager=False).orderBy("query_id", "rank")
 
 
 def _q48_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,7 +1210,7 @@ def _q49_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         duplicated_ngram_spans(docs, "text", "doc_id", n=12, min_docs=2)
         .withColumnRenamed("doc", "doc_id")
-        .orderBy("doc_id", "pos")
+        .localCheckpoint(eager=False).orderBy("doc_id", "pos")
     )
 
 
@@ -1233,7 +1224,7 @@ def _q50_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         chunk_documents(docs, "text", "doc_id", chunk_tokens=32, overlap=8)
         .withColumnRenamed("doc", "doc_id")
-        .orderBy("doc_id", "chunk_idx")
+        .localCheckpoint(eager=False).orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -1261,7 +1252,7 @@ def _q52_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1:1; AQE picks the strategy
     return ranks.join(degrees, "node").select(
         "node", "rank_int", "out_degree", "in_degree"
-    ).orderBy("node")
+    ).localCheckpoint(eager=False).orderBy("node")
 
 
 def _q52_oracle(n_iters: int = 5, damping_pct: int = 85,
@@ -1332,7 +1323,7 @@ def _q54_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return negative_samples(
         triples, "subj", "pred", "obj", triples.select("obj"), k=2
-    ).orderBy("subj", "obj", "neg_idx")
+    ).localCheckpoint(eager=False).orderBy("subj", "obj", "neg_idx")
 
 
 def _q51_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1365,7 +1356,7 @@ def _q51_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", url.alias("url"))
         .withColumn("canonical_url", canonical_url_col(F.col("url")))
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
     )
 
 

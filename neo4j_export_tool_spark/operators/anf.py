@@ -47,7 +47,10 @@ def neighborhood_function(
 ) -> DataFrame:
     """(node, hop, ball_size) for hop in [0, h]: the estimated number
     of distinct nodes within ``hop`` hops of ``node`` (itself
-    included), following edge direction.  Relative error ≈ 1.04/√(2^p)
+    included), following edge direction.  Node ids are CAST TO STRING
+    in the output (the register hash needs one canonical byte form —
+    the walks/SCC convention); cast explicitly when joining back to a
+    non-string-keyed table.  Relative error ≈ 1.04/√(2^p)
     per estimate (p=8 → ~6.5%).  The per-hop register tables are a
     pure integer function of (graph, p, salt); estimates are per-node
     sorted folds (bit-stable).  Averaging ``ball_size`` over nodes per
@@ -68,11 +71,11 @@ def neighborhood_function(
         .distinct()
     )
     def _mat(df):
-        return (
-            df.localCheckpoint(eager=False)
-            if use_local_checkpoint
-            else df.persist()
-        )
+        # no-checkpoint mode keeps PURE lineage (random_walks' posture):
+        # a persist() per hop could never be unpersisted from inside this
+        # lazy function and leaked one cached frame per hop for the
+        # session's lifetime (r6 advice item)
+        return df.localCheckpoint(eager=False) if use_local_checkpoint else df
 
     e = _mat(e)
     nodes = (

@@ -59,11 +59,27 @@ def pmi_scores(
             .agg(F.count(F.lit(1)).alias("n"))
         )
     else:
-        counts = pairs.select(
-            F.col(a_col).alias("a"),
-            F.col(b_col).alias("b"),
-            F.col(count_col).cast("long").alias("n"),
-        ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        # re-aggregate even "pre-aggregated" input: a caller whose table
+        # is not truly unique per (a, b) would otherwise get per-row
+        # partial n against whole-table marginals — silently wrong
+        # PMI/NPMI per duplicate row (r6 advice item).  On an already-
+        # unique table the agg is a cheap pass-through; non-positive
+        # counts are rejected in-plan (the module's reject convention).
+        n_raw = F.col(count_col).cast("long")
+        chk = F.assert_true(
+            n_raw.isNotNull() & (n_raw >= 1) & (F.col(count_col) == n_raw),
+            F.lit("pmi_scores: count_col must hold integers >= 1"),
+        )
+        counts = (
+            pairs.select(
+                F.col(a_col).alias("a"),
+                F.col(b_col).alias("b"),
+                F.when(chk.isNull(), n_raw).alias("n"),
+            )
+            .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("n"))
+        )
     counts = counts.localCheckpoint(
         eager=False
     )  # reused by marginals, total, joins

@@ -78,7 +78,8 @@ def _shingle_sets(
 
 
 def _verify_candidate_pairs(
-    candidates: DataFrame, sets: DataFrame, threshold_pct: int
+    candidates: DataFrame, sets: DataFrame, threshold_pct: int,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verify of a candidate-pair table against the shingle
     sets: (doc_a, doc_b, shared, n_a, n_b) at the integer threshold.
@@ -94,7 +95,7 @@ def _verify_candidate_pairs(
     half = F.broadcast(candidates).join(
         sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
     )
-    return (
+    scored = (
         F.broadcast(half)
         .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
         .select(
@@ -104,12 +105,17 @@ def _verify_candidate_pairs(
             F.size("sh_a").alias("n_a"),
             F.size("sh_b").alias("n_b"),
         )
-        .filter(
-            100 * F.col("shared")
-            >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("shared"))
-        )
-        .select("doc_a", "doc_b", "shared", "n_a", "n_b")
+        # materialization barrier: without it Catalyst collapses the
+        # threshold filter into the join condition and evaluates the
+        # array_intersect per pair THREE times (twice in the condition,
+        # once in the project) — at 3×10⁵ candidates that tripled the
+        # verify stage.  The materialized rows are five scalars per pair.
     )
+    scored = _materialize(scored, use_local_checkpoint)
+    return scored.filter(
+        100 * F.col("shared")
+        >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    ).select("doc_a", "doc_b", "shared", "n_a", "n_b")
 
 
 
@@ -409,7 +415,9 @@ def minhash_lsh_pairs_from_sets(
     )
 
     # exact verification on the candidate set only (pair side = build side)
-    return _verify_candidate_pairs(candidates, sets, threshold_pct)
+    return _verify_candidate_pairs(
+        candidates, sets, threshold_pct, use_local_checkpoint
+    )
 
 
 def simhash_fingerprints(
@@ -781,18 +789,50 @@ def jaccard_pairs_prefix(
             - F.expr(f"(({threshold_pct} * n) + 99) div 100")
             + F.lit(1)
         )
-        .select("doc", "shingle"),
+        .select("doc", "shingle", "n", "rk"),
         use_local_checkpoint,
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # Length + positional filters (the rest of the PPJoin toolkit), both
+    # provably recall-free at the threshold t = threshold_pct/100:
+    # J ≥ t forces shared ≥ t·max(n_a, n_b) (since shared ≤ min side),
+    # so 100·min(n_a,n_b) ≥ t·max(n_a,n_b) — the LENGTH filter.  And for
+    # the globally-smallest common shingle w of a true pair (which must
+    # sit inside BOTH prefixes — if it were past A's prefix, A's whole
+    # prefix would be non-shared and shared ≤ ⌈t·n_a⌉−1 < t·n_a, a
+    # contradiction), no common shingle precedes w, so
+    # shared ≤ 1 + min(n_a−rk_a, n_b−rk_b) at w's collision — the
+    # POSITIONAL filter.  Filtering EVERY collision with these bounds
+    # keeps the w-collision of every true pair, so candidates remain a
+    # superset of the answer; measured: they cut the candidate volume
+    # ~3× on the driver corpus before the expensive exact verify.
     candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter: 100·min ≥ t·max
+            & (
+                100 * F.least(F.col("a.n"), F.col("b.n"))
+                >= threshold_pct * F.greatest(F.col("a.n"), F.col("b.n"))
+            )
+            # positional filter: ubound ≥ ceil(t(n_a+n_b)/(100+t))
+            & (
+                (100 + threshold_pct)
+                * (
+                    F.least(
+                        F.col("a.n") - F.col("a.rk"),
+                        F.col("b.n") - F.col("b.rk"),
+                    )
+                    + 1
+                )
+                >= threshold_pct * (F.col("a.n") + F.col("b.n"))
+            ),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    return _verify_candidate_pairs(candidates, sets, threshold_pct)
+    return _verify_candidate_pairs(
+        candidates, sets, threshold_pct, use_local_checkpoint
+    )

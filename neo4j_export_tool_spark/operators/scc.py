@@ -48,6 +48,11 @@ def strongly_connected_components(
 ) -> DataFrame:
     """(node, scc_id) — scc_id is the minimum node id of the component.
 
+    Node ids are CAST TO STRING in the output (both columns; the
+    min-label fixpoint needs one canonical orderable form — the walks
+    convention).  Join the result back to a non-string-keyed node table
+    through an explicit cast, or ANSI mode faults the comparison.
+
     Nodes appearing only as endpoints still get a row (singleton unless
     cyclic).  Self-loops are irrelevant to the grouping (a node is
     always in its own SCC).  Raises RuntimeError if a fixpoint is still

@@ -149,8 +149,21 @@ def range_join_points(
     iv_b = _bucketed(
         intervals, start_col, end_col, bucket_width, max_buckets_per_interval
     )
+    # ts must be an integer epoch like the interval bounds (_bucketed):
+    # a negative fractional ts truncates toward zero and lands one bucket
+    # high, silently missing its interval; nulls stay null (dropped by
+    # the inner join, as before)
+    _ts_chk = F.assert_true(
+        F.col(ts_col).isNull()
+        | (F.col(ts_col) == F.col(ts_col).cast("long")),
+        F.lit("range_join_points: ts must be integer epochs"),
+    )
     pt_b = points.withColumn(
-        "_bucket", F.floor(F.col(ts_col).cast("long") / F.lit(bucket_width))
+        "_bucket",
+        F.when(
+            _ts_chk.isNull(),
+            F.floor(F.col(ts_col).cast("long") / F.lit(bucket_width)),
+        ),
     )
     joined = iv_b.join(pt_b, [key_col, "_bucket"]).where(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
@@ -162,18 +175,28 @@ def _bucketed(df: DataFrame, start_col: str, end_col: str,
               bucket_width: int, max_buckets: int) -> DataFrame:
     """Explode valid (end > start) intervals into their covered
     fixed-width buckets, ceiling enforced in-plan (range_join_points
-    convention)."""
+    convention).
+
+    Bounds must be INTEGER epochs, asserted in-plan: the bucket ladder
+    works on cast("long")-truncated values while the overlap predicate is
+    exact, so a fractional bound (e.g. [5.5, 6.5) vs [6.4, 7.0) at
+    bucket_width 1) could land a genuinely overlapping pair in disjoint
+    buckets and silently drop it (r6 advice item) — reject instead."""
     n_buckets = (
         F.floor((F.col(end_col).cast("long") - F.lit(1)) / F.lit(bucket_width))
         - F.floor(F.col(start_col).cast("long") / F.lit(bucket_width))
         + F.lit(1)
     )
     chk = F.assert_true(
-        n_buckets <= F.lit(max_buckets),
+        (F.col(start_col) == F.col(start_col).cast("long"))
+        & (F.col(end_col) == F.col(end_col).cast("long"))
+        & (n_buckets <= F.lit(max_buckets)),
         F.lit(
-            "an interval covers more than max_buckets_per_interval="
-            f"{max_buckets} buckets; raise the ceiling or widen "
-            "bucket_width"
+            "interval bounds must be integer epochs (fractional bounds "
+            "would truncate out of their bucket and silently drop "
+            "overlaps) and cover at most max_buckets_per_interval="
+            f"{max_buckets} buckets; widen bucket_width to cut bucket "
+            "counts"
         ),
     )
     seq = F.sequence(

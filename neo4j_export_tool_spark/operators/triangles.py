@@ -214,6 +214,12 @@ def ktruss(
             )
         )
         n_keep = keep.count()
+        # the previous round's frame is no longer referenced once `keep`
+        # is materialized by the count above — in the persist fallback it
+        # would otherwise leak one cached frame per peel round (r6 advice
+        # item; localCheckpoint blocks free with the plan objects)
+        if not use_local_checkpoint:
+            und.unpersist()
         # n_keep == 0 is also a fixpoint: an empty set cannot shrink —
         # returning here avoids a spurious ceiling raise (and one empty
         # enumeration round) when the peel empties on the last round

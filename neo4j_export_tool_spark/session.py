@@ -82,6 +82,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions down to minPartitionSize
+        # (default 1 MB).  Small-but-CPU-dense intermediates (an aggregated
+        # mention table whose every downstream row gets a sha256 + JSON
+        # render) collapse to ONE partition under the default, serializing
+        # the pipelined per-row work on one core.  64k keeps such stages
+        # spread while remaining inert at scale: any real partition is
+        # orders of magnitude above both thresholds, so production plans
+        # are unchanged (the knob only softens coalescing of < 2 MB
+        # stages, a local/small-input regime by definition).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

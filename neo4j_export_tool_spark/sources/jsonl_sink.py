@@ -128,7 +128,16 @@ def _serialize_nodes(nodes: DataFrame, export_id: str, hashed_ids: bool) -> Data
     ``functions.export_json``), so the whole record line assembles JVM-side;
     only rows whose head strings contain hazard characters fall back to the
     Python writer.  Typed ``properties`` struct inputs keep the Arrow lane.
+
+    The input is fanned out first (guide §2.5): AQE coalesces the tiny
+    upstream aggregates of a local-sized graph to ONE partition, which
+    left the whole line assembly (to_json + hazard regex per record)
+    single-threaded; at scale the input is already wide and fan-out is a
+    no-op.
     """
+    from neo4j_export_tool_spark.functions.partitioning import fan_out
+
+    nodes = fan_out(nodes, key="element_id")
     if "properties_json" in nodes.columns:
         labels = _validated_labels_col()
         head_fields = [
@@ -203,7 +212,11 @@ def _serialize_nodes(nodes: DataFrame, export_id: str, hashed_ids: bool) -> Data
 
 def _serialize_rels(edges: DataFrame, export_id: str, hashed_ids: bool) -> DataFrame:
     """edges(element_id, label, start/end ids, start/end hashes,
-    properties_json | properties) → (line, label)."""
+    properties_json | properties) → (line, label).  Fanned out like
+    `_serialize_nodes` (AQE-coalesced local inputs serialize one-core)."""
+    from neo4j_export_tool_spark.functions.partitioning import fan_out
+
+    edges = fan_out(edges, key="element_id")
     if "properties_json" in edges.columns:
         head_fields = [
             F.lit("relationship").alias("type"),
