@@ -96,9 +96,6 @@ def concept_nodes(spark: SparkSession) -> DataFrame:
 
 
 def mention_edges(mentions: DataFrame) -> DataFrame:
-    # per-edge identity hashing (sha256 over canonical JSON) is kept
-    # spread by the session's AQE minPartitionSize=64k — a static
-    # repartition here could not see AQE's runtime coalescing anyway
     return edges_from(
         mentions,
         rel_type="MENTIONS",

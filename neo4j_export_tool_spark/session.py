@@ -82,16 +82,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalesces post-shuffle partitions down to minPartitionSize
-        # (default 1 MB).  Small-but-CPU-dense intermediates (an aggregated
-        # mention table whose every downstream row gets a sha256 + JSON
-        # render) collapse to ONE partition under the default, serializing
-        # the pipelined per-row work on one core.  64k keeps such stages
-        # spread while remaining inert at scale: any real partition is
-        # orders of magnitude above both thresholds, so production plans
-        # are unchanged (the knob only softens coalescing of < 2 MB
-        # stages, a local/small-input regime by definition).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # NB (r7): lowering coalescePartitions.minPartitionSize (64k) was
+        # A/B-measured and REJECTED — it spread the CPU-dense post-shuffle
+        # stages (edge hashing, line serialization) but cost more across
+        # the many aggregation-shaped lanes than it saved (extra tiny
+        # tasks per stage); the serializer-side fan-out handles the
+        # pathological case directly.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
