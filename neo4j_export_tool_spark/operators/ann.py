@@ -239,23 +239,35 @@ def hyperplane_lsh_pairs(
         .distinct()
     )
     side = sig.select("id", "v", "nsq")
-    verified = (
-        cand.join(
-            side.withColumnsRenamed({"id": "id_a", "v": "v_a", "nsq": "nsq_a"}),
-            "id_a",
-        )
+    # candidate-PAIR side is the explicit build side (the dedup-verify
+    # convention): behind the checkpoint the planner has no sizes and
+    # would sort-merge the vector table against the id pairs
+    half = F.broadcast(cand).join(
+        side.withColumnsRenamed({"id": "id_a", "v": "v_a", "nsq": "nsq_a"}),
+        "id_a",
+    )
+    scored = (
+        F.broadcast(half)
         .join(
             side.withColumnsRenamed({"id": "id_b", "v": "v_b", "nsq": "nsq_b"}),
             "id_b",
         )
-        .withColumn(
-            "cosine",
-            dot_col(F.col("v_a"), F.col("v_b"), dim)
-            / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot_col(F.col("v_a"), F.col("v_b"), dim)
+                / F.sqrt(F.col("nsq_a") * F.col("nsq_b"))
+            ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= min_cosine)
+        # materialization barrier: the threshold filter would otherwise
+        # collapse into the join condition and re-evaluate the unrolled
+        # 64-term dot per candidate (the dedup-verify F2.3 shape)
+        .localCheckpoint(eager=False)
     )
-    return verified.select("id_a", "id_b", "cosine")
+    return scored.filter(F.col("cosine") >= min_cosine).select(
+        "id_a", "id_b", "cosine"
+    )
 
 
 def ivf_topk(
