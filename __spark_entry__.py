@@ -1101,7 +1101,9 @@ def _q46_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(line,) for line in seed_corpus_lines()], "text string"
     )
     merges = learn_bpe(seed, n_merges=24)
-    docs = _tp(spark, sf_dir, "documents")
+    # no fan-out: the encode kernel is vocabulary-bounded and the corpus
+    # side is pure column exprs — the exchange measured a net loss (r7)
+    docs = _t(spark, sf_dir, "documents")
     return encode_bpe(docs, merges).localCheckpoint(eager=False).orderBy("doc_id")
 
 

@@ -239,15 +239,15 @@ def hyperplane_lsh_pairs(
         .distinct()
     )
     side = sig.select("id", "v", "nsq")
-    # candidate-PAIR side is the explicit build side (the dedup-verify
-    # convention): behind the checkpoint the planner has no sizes and
-    # would sort-merge the vector table against the id pairs
-    half = F.broadcast(cand).join(
-        side.withColumnsRenamed({"id": "id_a", "v": "v_a", "nsq": "nsq_a"}),
-        "id_a",
-    )
+    # NB: unlike the dedup verify, NEITHER side is forced broadcast here —
+    # full-table LSH candidate sets routinely exceed the vector table
+    # (bucket collisions scale with n²/buckets), so a forced pair-side
+    # broadcast would be a driver hazard at scale; the planner/AQE picks.
     scored = (
-        F.broadcast(half)
+        cand.join(
+            side.withColumnsRenamed({"id": "id_a", "v": "v_a", "nsq": "nsq_a"}),
+            "id_a",
+        )
         .join(
             side.withColumnsRenamed({"id": "id_b", "v": "v_b", "nsq": "nsq_b"}),
             "id_b",
