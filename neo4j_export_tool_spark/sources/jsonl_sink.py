@@ -399,69 +399,80 @@ def _stats_from_written(
     Share/normalize semantics come from the same helpers the in-memory
     stats use (`_node_shares_from`, `_shares_agg`)."""
     raw = spark.read.text(paths)
-    # one Jackson parse per line (a 3-field subset schema skips the big
-    # properties payload) and ONE file scan: the parsed projection is tiny
-    # (~20 bytes/record), so persisting it lets the stats agg and the
-    # count/invalid agg run over memory instead of re-reading + re-parsing
-    # the export files per branch (round-2: readback was 40% of export time)
-    base = raw.select(
+    # ONE Jackson parse per line (a 3-field subset schema skips the big
+    # properties payload), ONE file scan, ONE aggregation job: every
+    # record explodes to one row per effective label (nodes: validated/
+    # normalized label array; relationships: their single label), and a
+    # ROLLUP over (kind, label) yields both the per-label stats and the
+    # per-kind record/invalid counts in the same pass.  The per-kind
+    # record count is `sum(pos == 0)` (first label only — count(*) at
+    # that level would count labels, not records); `grouping(label)`
+    # tells a rollup subtotal apart from a genuinely NULL label.  This
+    # replaces the previous persist + two-branch union (round-2 had
+    # measured the readback at 40% of export time; r7 removes the cache
+    # materialization and the second aggregation pass over it).
+    parsed = raw.select(
         F.from_json(
             "value", "type string, labels array<string>, label string"
         ).alias("j"),
         (F.octet_length("value") + 1).alias("line_bytes"),
-    ).select(
+    )
+    expl = parsed.select(
         F.col("j.type").alias("kind"),
-        F.col("j.labels").alias("labels"),
-        F.col("j.label").alias("label"),
-        "line_bytes",
-    ).persist()
-    node_shares = _node_shares_from(
-        F.col("labels"), F.col("line_bytes"), base.filter(F.col("kind") == "node")
+        F.posexplode(
+            F.when(
+                F.col("j.type") == "node",
+                _normalized_labels(F.col("j.labels")),
+            ).otherwise(F.array(F.col("j.label")))
+        ).alias("pos", "label"),
+        F.col("line_bytes"),
+        F.size(
+            F.when(
+                F.col("j.type") == "node",
+                _normalized_labels(F.col("j.labels")),
+            ).otherwise(F.array(F.col("j.label")))
+        ).alias("n_labels"),
     )
-    rel_shares = base.filter(F.col("kind") == "relationship").select(
-        F.lit("relationship").alias("kind"),
-        "label",
-        F.col("line_bytes").cast("double").alias("bytes_share"),
-    )
-    stats_rows = _shares_agg(node_shares.unionByName(rel_shares)).select(
-        F.lit("stats").alias("row_kind"), "kind", "label",
-        "record_count", "bytes_written", F.lit(None).alias("invalid"),
-    )
-    kind_agg = (
-        base.groupBy("kind")
+    rolled = (
+        expl.rollup("kind", "label")
         .agg(
-            F.count(F.lit(1)).alias("record_count"),
+            F.count(F.lit(1)).alias("label_rows"),
+            F.sum((F.col("pos") == 0).cast("long")).alias("record_rows"),
             F.sum(
-                F.size(
-                    F.filter(
-                        _normalized_labels(F.col("labels")),
-                        lambda x: x == "_invalid_label",
-                    )
-                )
+                (
+                    (F.col("kind") == "node")
+                    & (F.col("label") == "_invalid_label")
+                ).cast("long")
             ).alias("invalid"),
+            F.sum(
+                F.col("line_bytes").cast("double") / F.col("n_labels")
+            ).alias("bytes_written"),
+            F.grouping("label").alias("_glabel"),
+            F.grouping("kind").alias("_gkind"),
         )
-        .select(
-            F.lit("counts").alias("row_kind"), "kind",
-            F.lit(None).cast("string").alias("label"),
-            "record_count", F.lit(None).cast("double").alias("bytes_written"),
-            "invalid",
-        )
+        .where(F.col("_gkind") == 0)
     )
-    try:
-        rows = stats_rows.unionByName(kind_agg).collect()
-    finally:
-        base.unpersist()
+    rows = rolled.collect()
     node_stats, rel_stats = _split_stats_rows(
-        [r for r in rows if r["row_kind"] == "stats"]
+        [
+            {
+                "kind": r["kind"],
+                "label": r["label"],
+                "record_count": r["label_rows"],
+                "bytes_written": r["bytes_written"],
+            }
+            for r in rows
+            if r["_glabel"] == 0
+        ]
     )
     meta = {"node_count": 0, "rel_count": 0, "invalid_labels": 0}
     for r in rows:
-        if r["row_kind"] == "counts":
+        if r["_glabel"] == 1:  # rollup subtotal = the per-kind row
             if r["kind"] == "node":
-                meta["node_count"] = r["record_count"]
+                meta["node_count"] = r["record_rows"]
                 meta["invalid_labels"] = r["invalid"] or 0
             elif r["kind"] == "relationship":
-                meta["rel_count"] = r["record_count"]
+                meta["rel_count"] = r["record_rows"]
     return node_stats, rel_stats, meta
 
 
