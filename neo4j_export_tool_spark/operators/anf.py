@@ -71,11 +71,19 @@ def neighborhood_function(
         .distinct()
     )
     def _mat(df):
-        # no-checkpoint mode keeps PURE lineage (random_walks' posture):
-        # a persist() per hop could never be unpersisted from inside this
-        # lazy function and leaked one cached frame per hop for the
-        # session's lifetime (r6 advice item)
-        return df.localCheckpoint(eager=False) if use_local_checkpoint else df
+        # The no-checkpoint fallback MUST still materialize: each hop's
+        # register table is consumed three times (propagation join, union,
+        # estimate), so pure lineage — random_walks' posture, whose frames
+        # are referenced once — would recompute ~3^h subtrees.  persist()
+        # frames cannot be unpersisted from inside this lazy function
+        # (r6 advice item), but they are bounded at h+2 per call and the
+        # ContextCleaner releases them once the returned plan drops its
+        # references — a transient cost, not a session-lifetime leak.
+        return (
+            df.localCheckpoint(eager=False)
+            if use_local_checkpoint
+            else df.persist()
+        )
 
     e = _mat(e)
     nodes = (

@@ -46,8 +46,12 @@ def pmi_scores(
 
     ``count_col`` names a pre-aggregated event count per (a, b) row —
     pass it when the caller already holds the frequency table (e.g.
-    ``skipgram_pairs(..., with_counts=True)``) to skip the counting agg;
-    the scores are identical to feeding the raw events.
+    ``skipgram_pairs(..., with_counts=True)``).  The counts are still
+    re-aggregated (a cheap sum over the already-small table, NOT the
+    event-level count over the raw pairs), so a caller whose table is
+    not truly unique per (a, b) gets correct scores instead of
+    per-partial-row garbage; counts must be integers ≥ 1 (asserted
+    in-plan).  Scores are identical to feeding the raw events.
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")

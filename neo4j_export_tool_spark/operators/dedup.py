@@ -84,19 +84,19 @@ def _verify_candidate_pairs(
     """Exact-Jaccard verify of a candidate-pair table against the shingle
     sets: (doc_a, doc_b, shared, n_a, n_b) at the integer threshold.
 
-    The PAIR side is the explicit build side of both hash joins.  The
-    shingle-set table is corpus-sized (every document's full shingle
-    array); the candidate table holds two ids per near-dup candidate —
-    orders of magnitude smaller on any real corpus.  Left to the planner,
-    a stats-free (checkpointed) sets input was broadcast instead, which
-    collects the whole corpus's shingle arrays to the driver — wrong at
-    every scale and measured 2× slower even locally."""
+    No side is FORCED broadcast: candidate volume is workload-dependent
+    (LSH band collisions scale superlinearly on self-similar corpora), so
+    an unconditional pair-side broadcast would be a driver hazard at
+    scale, while the shingle-set side carries size statistics through its
+    materialization — the planner broadcasts it only while it actually
+    fits and falls back to shuffle joins beyond that, which is the
+    correct shape on both ends."""
     sh = sets.select("doc", "shingles")
-    half = F.broadcast(candidates).join(
+    half = candidates.join(
         sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
     )
     scored = (
-        F.broadcast(half)
+        half
         .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
         .select(
             "doc_a",

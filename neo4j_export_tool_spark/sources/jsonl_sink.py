@@ -137,7 +137,9 @@ def _serialize_nodes(nodes: DataFrame, export_id: str, hashed_ids: bool) -> Data
     """
     from neo4j_export_tool_spark.functions.partitioning import fan_out
 
-    nodes = fan_out(nodes, key="element_id")
+    # probe_rdd: the inputs are persisted by export_jsonl, so the probe's
+    # materialization lands in the cache and is reused by the write job
+    nodes = fan_out(nodes, key="element_id", probe_rdd=True)
     if "properties_json" in nodes.columns:
         labels = _validated_labels_col()
         head_fields = [
@@ -216,7 +218,7 @@ def _serialize_rels(edges: DataFrame, export_id: str, hashed_ids: bool) -> DataF
     `_serialize_nodes` (AQE-coalesced local inputs serialize one-core)."""
     from neo4j_export_tool_spark.functions.partitioning import fan_out
 
-    edges = fan_out(edges, key="element_id")
+    edges = fan_out(edges, key="element_id", probe_rdd=True)
     if "properties_json" in edges.columns:
         head_fields = [
             F.lit("relationship").alias("type"),
