@@ -29,6 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Symmetrized-edge ceiling for broadcasting the per-round label table
+# (see the block comment in `label_propagation`; a label row is two
+# short strings, so 500k rows ≈ the session's 64 MB auto-broadcast
+# threshold — `operators/pagerank.py::_BROADCAST_RANKS_MAX_NODES`).
+_BROADCAST_SYM_EDGES_MAX = 500_000
+
 
 def label_propagation(
     edges: DataFrame,
@@ -56,8 +62,18 @@ def label_propagation(
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    # Broadcast the per-round (node, label) table when the symmetrized
+    # edge table is small (labels ≤ distinct sources ≤ |sym|): behind
+    # the localCheckpoint boundary the planner has no size statistics
+    # and shuffle-joins even tiny graphs (guide §3.1; the pagerank /
+    # walks convention).  The count materializes the checkpoint the
+    # first round would pay for anyway; results are identical (the
+    # vote fold is a min, partitioning-independent).
+    bcast_labels = False
     if use_local_checkpoint:
         sym = sym.localCheckpoint(eager=False)
+        bcast_labels = sym.count() <= _BROADCAST_SYM_EDGES_MAX
+    _bl = F.broadcast if bcast_labels else (lambda df: df)
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -68,7 +84,7 @@ def label_propagation(
         if use_local_checkpoint:
             labels = labels.localCheckpoint(eager=False)
         neigh = sym.join(
-            labels.withColumnRenamed("node", "b"), "b"
+            _bl(labels.withColumnRenamed("node", "b")), "b"
         ).select(F.col("a").alias("node"), "community")
         counts = neigh.groupBy("node", "community").agg(
             F.count(F.lit(1)).alias("c")

@@ -37,6 +37,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Node ceiling under which the per-round node-sized tables (colors,
+# inbound mins, trim/removal sets, the backward frontier) are broadcast
+# instead of shuffle-joined (guide §3.1; the pagerank convention —
+# `operators/pagerank.py::_BROADCAST_RANKS_MAX_NODES`).  Every such
+# table sits behind a localCheckpoint boundary with no size statistics,
+# so the planner sort-merge-joins even a 500-node graph, paying 2
+# exchanges per fixpoint round.  The count that decides it replaces the
+# `isEmpty` action each outer round already paid.  Above the ceiling the
+# loop keeps the shuffle-join shape.  Results are identical either way:
+# every pick is a `min`, independent of partitioning.
+_BROADCAST_NODES_MAX = 500_000
+
 
 def strongly_connected_components(
     edges: DataFrame,
@@ -84,8 +96,16 @@ def strongly_connected_components(
     assigned = spark.createDataFrame([], "node string, scc_id string")
 
     for _ in range(max_outer_rounds):
-        if nodes.isEmpty():
+        # count (not isEmpty): same action cost class, and the measured
+        # node count decides the broadcast tier for this outer round
+        n_nodes = nodes.count()
+        if n_nodes == 0:
             return assigned
+        _bn = (
+            F.broadcast
+            if n_nodes <= _BROADCAST_NODES_MAX
+            else (lambda df: df)
+        )
         # 0. TRIM: a node with no in-edge or no out-edge in the
         # surviving subgraph cannot sit in a multi-node SCC — emit
         # singletons until the fixpoint.  This removes entire DAG
@@ -95,8 +115,8 @@ def strongly_connected_components(
             srcs = e.select(F.col("src").alias("node")).distinct()
             dsts = e.select(F.col("dst").alias("node")).distinct()
             trivial = (
-                nodes.join(srcs, "node", "left_anti")
-                .unionByName(nodes.join(dsts, "node", "left_anti"))
+                nodes.join(_bn(srcs), "node", "left_anti")
+                .unionByName(nodes.join(_bn(dsts), "node", "left_anti"))
                 .distinct()
             )
             trivial = _ckpt(trivial)
@@ -107,14 +127,14 @@ def strongly_connected_components(
                     trivial.select("node", F.col("node").alias("scc_id"))
                 )
             )
-            nodes = _ckpt(nodes.join(trivial, "node", "left_anti"))
+            nodes = _ckpt(nodes.join(_bn(trivial), "node", "left_anti"))
             e = _ckpt(
                 e.join(
-                    trivial.select(F.col("node").alias("src")),
+                    _bn(trivial.select(F.col("node").alias("src"))),
                     "src",
                     "left_anti",
                 ).join(
-                    trivial.select(F.col("node").alias("dst")),
+                    _bn(trivial.select(F.col("node").alias("dst"))),
                     "dst",
                     "left_anti",
                 )
@@ -129,16 +149,16 @@ def strongly_connected_components(
             colors = _ckpt(colors)
             pushed = (
                 e.join(
-                    colors.select(
+                    _bn(colors.select(
                         F.col("node").alias("src"), F.col("color").alias("_c")
-                    ),
+                    )),
                     "src",
                 )
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("_c").alias("_in"))
             )
             nxt = (
-                colors.join(pushed, "node", "left")
+                colors.join(_bn(pushed), "node", "left")
                 .select(
                     "node",
                     F.least(
@@ -166,13 +186,13 @@ def strongly_connected_components(
         # 2. backward sweep from roots within each color
         e_col = (
             e.join(
-                colors.select(F.col("node").alias("src"),
-                              F.col("color").alias("_cs")),
+                _bn(colors.select(F.col("node").alias("src"),
+                                  F.col("color").alias("_cs"))),
                 "src",
             )
             .join(
-                colors.select(F.col("node").alias("dst"),
-                              F.col("color").alias("_cd")),
+                _bn(colors.select(F.col("node").alias("dst"),
+                                  F.col("color").alias("_cd"))),
                 "dst",
             )
             .where(F.col("_cs") == F.col("_cd"))
@@ -189,13 +209,13 @@ def strongly_connected_components(
             if frontier.isEmpty():
                 break
             stepped = (
-                frontier.select(F.col("node").alias("dst"), "color")
+                _bn(frontier.select(F.col("node").alias("dst"), "color"))
                 .join(e_col, ["dst", "color"])
                 .select(F.col("src").alias("node"), "color")
                 .distinct()
             )
             frontier = stepped.join(
-                member.select("node"), "node", "left_anti"
+                _bn(member.select("node")), "node", "left_anti"
             )
             member = member.unionByName(frontier)
         else:
@@ -208,13 +228,15 @@ def strongly_connected_components(
         assigned = _ckpt(assigned.unionByName(found))
         # 3. remove assigned nodes; keep only edges between survivors
         nodes = _ckpt(
-            nodes.join(found.select("node"), "node", "left_anti")
+            nodes.join(_bn(found.select("node")), "node", "left_anti")
         )
         e = _ckpt(
             e.join(
-                found.select(F.col("node").alias("src")), "src", "left_anti"
+                _bn(found.select(F.col("node").alias("src"))),
+                "src", "left_anti",
             ).join(
-                found.select(F.col("node").alias("dst")), "dst", "left_anti"
+                _bn(found.select(F.col("node").alias("dst"))),
+                "dst", "left_anti",
             )
         )
     if not nodes.isEmpty():

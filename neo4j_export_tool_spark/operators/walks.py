@@ -48,6 +48,22 @@ from pyspark.sql import functions as F
 
 from neo4j_export_tool_spark.functions.similarity import shingle_hash_col
 
+# Edge ceiling under which the per-step walk joins broadcast the capped
+# edge table (and the walk-sized pick table) instead of shuffle-joining
+# (guide §3.1: broadcast the side that fits).  An edge row is two short
+# node strings (~≤128 B framed), so 500k edges ≈ the session's 64 MB
+# auto-broadcast threshold — the pagerank convention
+# (`operators/pagerank.py::_BROADCAST_RANKS_MAX_NODES`).  The planner
+# cannot make this call itself: the edge table sits behind a
+# localCheckpoint boundary with no size statistics, so every step
+# sort-merge-joins even a 500-row graph (2 exchanges per step).  Above
+# the ceiling — a real web-scale graph — the loop keeps the shuffle-join
+# shape.  The count that decides it materializes the checkpoint the
+# first step would materialize anyway.  Results are identical either
+# way: every pick is a pure hash function of (graph, salt), independent
+# of partitioning (pinned by the python replays in tests/test_walks.py).
+_BROADCAST_EDGES_MAX_ROWS = 500_000
+
 
 def cap_neighbors(
     edges: DataFrame, src_col: str, dst_col: str, k: int, salt: str
@@ -105,7 +121,10 @@ def random_walks(
     `cap_neighbors` prune first — REQUIRED on hub-heavy graphs, where
     per-step candidate expansion is otherwise |N(hub)|·walks (see
     `cap_neighbors`); the walk is then a pure function of
-    (capped graph, salt).
+    (capped graph, salt).  When the edge table fits
+    (`_BROADCAST_EDGES_MAX_ROWS`), the per-step joins broadcast it (and
+    the walk-sized pick table) instead of shuffling — same rows, decided
+    from a measured count.
     """
     if walk_len < 1:
         raise ValueError("walk_len must be >= 1")
@@ -126,8 +145,15 @@ def random_walks(
     # here would leak cached blocks for the session: the returned
     # DataFrame is lazy, so there is no point at which this function
     # could safely unpersist.
+    bcast_edges = bcast_pick = False
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
+        m = e.count()  # materializes the checkpoint; decides broadcast
+        bcast_edges = m <= _BROADCAST_EDGES_MAX_ROWS
+        # pick is walk-sized: ≤ distinct-src × walks_per_node ≤ m × wpn
+        bcast_pick = m * walks_per_node <= _BROADCAST_EDGES_MAX_ROWS
+    _be = F.broadcast if bcast_edges else (lambda df: df)
+    _bp = F.broadcast if bcast_pick else (lambda df: df)
 
     active = (
         e.select("src")
@@ -149,7 +175,7 @@ def random_walks(
         if use_local_checkpoint:
             active = active.localCheckpoint(eager=False)
             done = done.localCheckpoint(eager=False)
-        cand = active.join(e, active["cur"] == e["src"])
+        cand = active.join(_be(e), active["cur"] == e["src"])
         h = shingle_hash_col(
             F.concat(
                 F.lit(salt + ":"),
@@ -162,9 +188,9 @@ def random_walks(
             F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("_m")
         ).select("walk_id", F.col("_m.d").alias("_next"))
         done = done.unionByName(
-            active.join(pick, "walk_id", "left_anti")
+            active.join(_bp(pick), "walk_id", "left_anti")
         )
-        active = active.join(pick, "walk_id").select(
+        active = active.join(_bp(pick), "walk_id").select(
             "walk_id",
             "start",
             F.col("_next").alias("cur"),
@@ -206,7 +232,11 @@ def node2vec_walks(
     expansion), one equi-join against the edge list on ``(prev, dst)``
     (the distance-1 membership probe), and one window over ``walk_id``
     (cumulative + total weight — same partitioning, one Exchange);
-    lineage cut per round with localCheckpoint.  Dead ends retire into
+    lineage cut per round with localCheckpoint.  When the capped edge
+    table fits (`_BROADCAST_EDGES_MAX_ROWS`), the two equi-joins
+    broadcast it instead of shuffling the walk table — same rows,
+    decided from a measured count the checkpoint materialization pays
+    for anyway.  Dead ends retire into
     the result.  Weights must be positive ints; totals stay far inside
     int64 (max degree × max weight).
 
@@ -236,8 +266,14 @@ def node2vec_walks(
         # membership probe to the capped graph (consistent semantics:
         # the walk lives entirely on the pruned graph)
         e = cap_neighbors(e, "src", "dst", max_neighbors_per_node, salt)
+    bcast_edges = bcast_pick = False
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
+        m = e.count()  # materializes the checkpoint; decides broadcast
+        bcast_edges = m <= _BROADCAST_EDGES_MAX_ROWS
+        bcast_pick = m * walks_per_node <= _BROADCAST_EDGES_MAX_ROWS
+    _be = F.broadcast if bcast_edges else (lambda df: df)
+    _bp = F.broadcast if bcast_pick else (lambda df: df)
     e_near = e.select(
         F.col("src").alias("_psrc"), F.col("dst").alias("_pdst"),
         F.lit(1).alias("_near"),
@@ -267,9 +303,9 @@ def node2vec_walks(
             active = active.localCheckpoint(eager=False)
             done = done.localCheckpoint(eager=False)
         cand = (
-            active.join(e, active["cur"] == e["src"])
+            active.join(_be(e), active["cur"] == e["src"])
             .join(
-                e_near,
+                _be(e_near),
                 (F.col("prev") == F.col("_psrc"))
                 & (F.col("dst") == F.col("_pdst")),
                 "left",
@@ -303,7 +339,7 @@ def node2vec_walks(
             )
         )
         done = done.unionByName(
-            active.join(pick.select("walk_id"), "walk_id", "left_anti")
+            active.join(_bp(pick.select("walk_id")), "walk_id", "left_anti")
         )
         active = pick.select(
             "walk_id",

@@ -77,7 +77,8 @@ def prepare_embedding_corpus(
     edges = cooccurrence_edges(
         mentions, doc_col, concept_col,
         max_concepts_per_doc=max_concepts_per_doc,
-    )
+    ).localCheckpoint(eager=False)  # shared by the capped-graph build
+    # AND the n_cooccurrence_edges metric count — one evaluation, not two
     sym = edges.select("c1", "c2").unionByName(
         edges.select(F.col("c2").alias("c1"), F.col("c1").alias("c2"))
     )
