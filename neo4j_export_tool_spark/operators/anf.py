@@ -35,6 +35,16 @@ from neo4j_export_tool_spark.operators.sketches import (
     register_cols,
 )
 
+# Edge ceiling under which the per-hop propagation join broadcasts the
+# edge table instead of shuffling the (larger) register table to meet it
+# (guide §3.1; the pagerank/walks convention).  Behind the
+# materialization barrier the planner has no size statistics and
+# sort-merge-joins even tiny graphs.  The count that decides it
+# materializes the edge frame the first hop would pay for anyway;
+# results are identical (register max-merge is partitioning-independent,
+# pinned by the python register twin in tests/test_anf.py).
+_BROADCAST_EDGES_MAX_ROWS = 500_000
+
 
 def neighborhood_function(
     edges: DataFrame,
@@ -86,6 +96,11 @@ def neighborhood_function(
         )
 
     e = _mat(e)
+    _be = (
+        F.broadcast
+        if e.count() <= _BROADCAST_EDGES_MAX_ROWS
+        else (lambda df: df)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -118,7 +133,7 @@ def neighborhood_function(
     per_hop = [_estimates(regs, 0)]
     for hop in range(1, h + 1):
         pushed = (
-            regs.join(e, regs["node"] == e["dst"])
+            regs.join(_be(e), regs["node"] == e["dst"])
             .select(F.col("src").alias("node"), "bucket", "max_rho")
         )
         regs = _mat(
