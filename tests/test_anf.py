@@ -160,3 +160,24 @@ def test_validation(spark):
         neighborhood_function(df, "s", "d", p=3)
     with pytest.raises(ValueError):
         neighborhood_function(df, "s", "d", p=13)
+
+
+def test_broadcast_and_shuffle_tiers_agree(spark, monkeypatch):
+    """The size-adaptive edge broadcast in the per-hop propagation join
+    is a physical choice only: forcing the shuffle tier must reproduce
+    every (node, hop) estimate bit-for-bit (the estimate fold is a
+    sorted, order-independent reduction)."""
+    import neo4j_export_tool_spark.operators.anf as A
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "s string, d string")
+    base = sorted(
+        (r.node, r.hop, r.ball_size)
+        for r in neighborhood_function(df, "s", "d", h=3, p=8).collect()
+    )
+    monkeypatch.setattr(A, "_BROADCAST_EDGES_MAX_ROWS", -1)
+    forced = sorted(
+        (r.node, r.hop, r.ball_size)
+        for r in neighborhood_function(df, "s", "d", h=3, p=8).collect()
+    )
+    assert base == forced

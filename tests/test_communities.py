@@ -94,3 +94,15 @@ def test_validation(spark):
     df = spark.createDataFrame([("a", "b")], "a string, b string")
     with pytest.raises(ValueError):
         label_propagation(df, "a", "b", n_iters=-1)
+
+
+def test_broadcast_and_shuffle_tiers_agree(spark, monkeypatch):
+    """The size-adaptive label-table broadcast is a physical choice
+    only: forcing the shuffle tier must reproduce the labels exactly."""
+    import neo4j_export_tool_spark.operators.communities as C
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    base = sorted(_spark_lpa(spark, edges, 3).items())
+    monkeypatch.setattr(C, "_BROADCAST_SYM_EDGES_MAX", -1)
+    forced = sorted(_spark_lpa(spark, edges, 3).items())
+    assert base == forced

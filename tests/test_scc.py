@@ -135,3 +135,24 @@ def test_trim_plus_cycle_mix(spark):
     got = _spark_scc(spark, edges)
     assert got == {"t1": "t1", "t2": "t2", "x": "x", "y": "x", "z": "x",
                    "h1": "h1", "h2": "h2"}
+
+
+def test_broadcast_and_shuffle_tiers_agree(spark, monkeypatch):
+    """The size-adaptive broadcast of the node-sized loop tables is a
+    physical choice only: forcing the shuffle tier must reproduce the
+    broadcast tier's assignment exactly."""
+    import neo4j_export_tool_spark.operators.scc as S
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "d"), ("f", "a"), ("g", "h")]
+    df = spark.createDataFrame(edges, "s string, d string")
+    base = sorted(
+        (r.node, r.scc_id)
+        for r in strongly_connected_components(df, "s", "d").collect()
+    )
+    monkeypatch.setattr(S, "_BROADCAST_NODES_MAX", -1)
+    forced = sorted(
+        (r.node, r.scc_id)
+        for r in strongly_connected_components(df, "s", "d").collect()
+    )
+    assert base == forced

@@ -371,3 +371,43 @@ def test_cap_validation(spark):
     df = spark.createDataFrame([("a", "b")], "s string, d string")
     with pytest.raises(ValueError):
         cap_neighbors(df, "s", "d", 0, "walk")
+
+
+def test_random_walks_broadcast_and_shuffle_tiers_agree(spark, monkeypatch):
+    """The size-adaptive broadcast is a physical choice only: forcing
+    the shuffle tier (ceiling below any graph) must reproduce the
+    broadcast tier's walks bit-for-bit."""
+    import neo4j_export_tool_spark.operators.walks as W
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "a"), ("f", "c")]
+    df = spark.createDataFrame(edges, "s string, d string")
+    base = sorted(
+        (r.walk_id, r.start, list(r.path))
+        for r in random_walks(df, "s", "d", walk_len=5, walks_per_node=2).collect()
+    )
+    monkeypatch.setattr(W, "_BROADCAST_EDGES_MAX_ROWS", -1)
+    forced = sorted(
+        (r.walk_id, r.start, list(r.path))
+        for r in random_walks(df, "s", "d", walk_len=5, walks_per_node=2).collect()
+    )
+    assert base == forced
+
+
+def test_node2vec_broadcast_and_shuffle_tiers_agree(spark, monkeypatch):
+    import neo4j_export_tool_spark.operators.walks as W
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "a"), ("f", "c")]
+    df = spark.createDataFrame(edges, "s string, d string")
+    kw = dict(walk_len=5, walks_per_node=2, w_return=1, w_near=2, w_far=4)
+    base = sorted(
+        (r.walk_id, r.start, list(r.path))
+        for r in node2vec_walks(df, "s", "d", **kw).collect()
+    )
+    monkeypatch.setattr(W, "_BROADCAST_EDGES_MAX_ROWS", -1)
+    forced = sorted(
+        (r.walk_id, r.start, list(r.path))
+        for r in node2vec_walks(df, "s", "d", **kw).collect()
+    )
+    assert base == forced
