@@ -92,3 +92,18 @@ def fan_out(
     if key is not None and key in df.columns:
         return df.repartition(target, F.col(key))
     return df.repartition(target)
+
+
+def broadcast_if_small(n_rows: int, ceiling: int):
+    """The size-adaptive broadcast tier shared by the iterative graph
+    operators (pagerank / walks / SCC / LPA / ANF): returns
+    ``F.broadcast`` when the measured ``n_rows`` fits under ``ceiling``,
+    else the identity — so loop tables hidden behind
+    localCheckpoint/persist barriers (whose size statistics the planner
+    cannot see, guide §3.1) are broadcast exactly while they fit and
+    keep the scale-safe shuffle shape above the ceiling.  Callers pass
+    a count they already took (or that materializes a barrier the loop
+    pays for anyway); the choice is physical only — results must be
+    partitioning-independent, which each caller pins with a
+    tier-equivalence test."""
+    return F.broadcast if n_rows <= ceiling else (lambda df: df)

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from neo4j_export_tool_spark.functions.partitioning import broadcast_if_small
 from neo4j_export_tool_spark.operators.sketches import (
     estimate_over_regs,
     register_cols,
@@ -96,11 +97,11 @@ def neighborhood_function(
         )
 
     e = _mat(e)
-    _be = (
-        F.broadcast
-        if e.count() <= _BROADCAST_EDGES_MAX_ROWS
-        else (lambda df: df)
-    )
+    _be = lambda df: df
+    if use_local_checkpoint and h >= 1:
+        # checkpoint mode only (the persist() fallback stays fully lazy)
+        # and only when the hop loop will actually run
+        _be = broadcast_if_small(e.count(), _BROADCAST_EDGES_MAX_ROWS)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from neo4j_export_tool_spark.functions.partitioning import broadcast_if_small
+
 # Symmetrized-edge ceiling for broadcasting the per-round label table
 # (see the block comment in `label_propagation`; a label row is two
 # short strings, so 500k rows ≈ the session's 64 MB auto-broadcast
@@ -69,11 +71,11 @@ def label_propagation(
     # walks convention).  The count materializes the checkpoint the
     # first round would pay for anyway; results are identical (the
     # vote fold is a min, partitioning-independent).
-    bcast_labels = False
+    _bl = lambda df: df
     if use_local_checkpoint:
         sym = sym.localCheckpoint(eager=False)
-        bcast_labels = sym.count() <= _BROADCAST_SYM_EDGES_MAX
-    _bl = F.broadcast if bcast_labels else (lambda df: df)
+        if n_iters >= 1:  # n_iters == 0: the loop never runs
+            _bl = broadcast_if_small(sym.count(), _BROADCAST_SYM_EDGES_MAX)
 
     labels = (
         sym.select(F.col("a").alias("node"))

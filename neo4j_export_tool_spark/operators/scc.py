@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from neo4j_export_tool_spark.functions.partitioning import broadcast_if_small
+
 # Node ceiling under which the per-round node-sized tables (colors,
 # inbound mins, trim/removal sets, the backward frontier) are broadcast
 # instead of shuffle-joined (guide §3.1; the pagerank convention —
@@ -96,16 +98,21 @@ def strongly_connected_components(
     assigned = spark.createDataFrame([], "node string, scc_id string")
 
     for _ in range(max_outer_rounds):
-        # count (not isEmpty): same action cost class, and the measured
-        # node count decides the broadcast tier for this outer round
-        n_nodes = nodes.count()
+        if use_local_checkpoint:
+            # count (not isEmpty): on the materialized checkpoint both
+            # are one cheap job, and the measured node count decides the
+            # broadcast tier for this outer round
+            n_nodes = nodes.count()
+            _bn = broadcast_if_small(n_nodes, _BROADCAST_NODES_MAX)
+        else:
+            # pure-lineage debug mode: isEmpty short-circuits after one
+            # row where a count would recompute the whole surviving
+            # subgraph; no checkpoint boundary means the planner sees
+            # sizes itself, so no forced tier either
+            n_nodes = 0 if nodes.isEmpty() else 1
+            _bn = lambda df: df
         if n_nodes == 0:
             return assigned
-        _bn = (
-            F.broadcast
-            if n_nodes <= _BROADCAST_NODES_MAX
-            else (lambda df: df)
-        )
         # 0. TRIM: a node with no in-edge or no out-edge in the
         # surviving subgraph cannot sit in a multi-node SCC — emit
         # singletons until the fixpoint.  This removes entire DAG

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from neo4j_export_tool_spark.functions.partitioning import broadcast_if_small
 from neo4j_export_tool_spark.functions.similarity import shingle_hash_col
 
 # Edge ceiling under which the per-step walk joins broadcast the capped
@@ -143,17 +144,21 @@ def random_walks(
     # use_local_checkpoint=False keeps pure lineage (the edge scan is
     # recomputed per round) — debugging/small-graph mode.  A persist()
     # here would leak cached blocks for the session: the returned
-    # DataFrame is lazy, so there is no point at which this function
-    # could safely unpersist.
-    bcast_edges = bcast_pick = False
+    # DataFrame is lazy in that mode, so there is no point at which this
+    # function could safely unpersist.  In the default checkpoint mode
+    # the function is EAGER: the count below (which decides the
+    # broadcast tier) materializes the checkpoint at call time — the
+    # same job the first step would otherwise trigger.
+    _be = _bp = lambda df: df
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
-        m = e.count()  # materializes the checkpoint; decides broadcast
-        bcast_edges = m <= _BROADCAST_EDGES_MAX_ROWS
-        # pick is walk-sized: ≤ distinct-src × walks_per_node ≤ m × wpn
-        bcast_pick = m * walks_per_node <= _BROADCAST_EDGES_MAX_ROWS
-    _be = F.broadcast if bcast_edges else (lambda df: df)
-    _bp = F.broadcast if bcast_pick else (lambda df: df)
+        if walk_len > 1:  # walk_len == 1: the loop never runs
+            m = e.count()  # materializes the checkpoint; decides tier
+            _be = broadcast_if_small(m, _BROADCAST_EDGES_MAX_ROWS)
+            # pick is walk-sized: ≤ distinct-src × walks_per_node
+            _bp = broadcast_if_small(
+                m * walks_per_node, _BROADCAST_EDGES_MAX_ROWS
+            )
 
     active = (
         e.select("src")
@@ -266,14 +271,15 @@ def node2vec_walks(
         # membership probe to the capped graph (consistent semantics:
         # the walk lives entirely on the pruned graph)
         e = cap_neighbors(e, "src", "dst", max_neighbors_per_node, salt)
-    bcast_edges = bcast_pick = False
+    _be = _bp = lambda df: df
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
-        m = e.count()  # materializes the checkpoint; decides broadcast
-        bcast_edges = m <= _BROADCAST_EDGES_MAX_ROWS
-        bcast_pick = m * walks_per_node <= _BROADCAST_EDGES_MAX_ROWS
-    _be = F.broadcast if bcast_edges else (lambda df: df)
-    _bp = F.broadcast if bcast_pick else (lambda df: df)
+        if walk_len > 1:  # walk_len == 1: the loop never runs
+            m = e.count()  # materializes the checkpoint; decides tier
+            _be = broadcast_if_small(m, _BROADCAST_EDGES_MAX_ROWS)
+            _bp = broadcast_if_small(
+                m * walks_per_node, _BROADCAST_EDGES_MAX_ROWS
+            )
     e_near = e.select(
         F.col("src").alias("_psrc"), F.col("dst").alias("_pdst"),
         F.lit(1).alias("_near"),
