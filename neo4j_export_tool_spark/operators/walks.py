@@ -192,6 +192,12 @@ def random_walks(
         pick = cand.groupBy("walk_id").agg(
             F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("_m")
         ).select("walk_id", F.col("_m.d").alias("_next"))
+        if use_local_checkpoint:
+            # pick feeds BOTH the retire anti-join and the join-back:
+            # without a barrier the candidate join + argmin agg evaluate
+            # twice per step (visible as duplicated subtrees in the
+            # captured plan) — the dedup.py _materialize discipline
+            pick = pick.localCheckpoint(eager=False)
         done = done.unionByName(
             active.join(_bp(pick), "walk_id", "left_anti")
         )
@@ -344,6 +350,12 @@ def node2vec_walks(
                 & (F.col("_r") < F.col("_cum"))
             )
         )
+        if use_local_checkpoint:
+            # pick feeds BOTH the retire anti-join and the next active:
+            # without a barrier the candidate joins + ladder windows
+            # evaluate twice per step (duplicated subtrees in the
+            # captured plan) — the dedup.py _materialize discipline
+            pick = pick.localCheckpoint(eager=False)
         done = done.unionByName(
             active.join(_bp(pick.select("walk_id")), "walk_id", "left_anti")
         )
