@@ -206,13 +206,13 @@ def strongly_connected_components(
             .select("src", "dst", F.col("_cs").alias("color"))
         )
         e_col = _ckpt(e_col)
-        member = colors.where(F.col("node") == F.col("color")).select(
-            "node", "color"
+        member = _ckpt(
+            colors.where(F.col("node") == F.col("color")).select(
+                "node", "color"
+            )
         )
         frontier = member
         for _r in range(max_label_rounds):
-            frontier = _ckpt(frontier)
-            member = _ckpt(member)
             if frontier.isEmpty():
                 break
             stepped = (
@@ -221,10 +221,14 @@ def strongly_connected_components(
                 .select(F.col("src").alias("node"), "color")
                 .distinct()
             )
-            frontier = stepped.join(
-                _bn(member.select("node")), "node", "left_anti"
+            # checkpoint BEFORE branching: frontier feeds both the next
+            # round's expansion and the member union, so without a
+            # barrier the step join evaluated twice per round (the
+            # walks pick discipline)
+            frontier = _ckpt(
+                stepped.join(_bn(member.select("node")), "node", "left_anti")
             )
-            member = member.unionByName(frontier)
+            member = _ckpt(member.unionByName(frontier))
         else:
             raise RuntimeError(
                 f"SCC backward sweep still moving after "
