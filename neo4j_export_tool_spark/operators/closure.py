@@ -66,11 +66,10 @@ def transitive_closure(
         e = e.localCheckpoint(eager=False)
 
     frontier = e.withColumn("hops", F.lit(1))
+    if use_local_checkpoint:
+        frontier = frontier.localCheckpoint(eager=False)
     known = frontier
     for _ in range(max_hops):
-        if use_local_checkpoint:
-            frontier = frontier.localCheckpoint(eager=False)
-            known = known.localCheckpoint(eager=False)
         if frontier.isEmpty():
             break
         stepped = (
@@ -82,7 +81,16 @@ def transitive_closure(
         frontier = stepped.join(
             known.select("src", "dst"), ["src", "dst"], "left_anti"
         )
+        if use_local_checkpoint:
+            # checkpoint BEFORE branching: frontier feeds the next
+            # round's expansion AND the known union (AND the max_pairs
+            # count below), so without a barrier the step join + anti
+            # evaluated twice or three times per round (the walks pick
+            # discipline)
+            frontier = frontier.localCheckpoint(eager=False)
         known = known.unionByName(frontier)
+        if use_local_checkpoint:
+            known = known.localCheckpoint(eager=False)
         if max_pairs is not None and known.count() > max_pairs:
             raise RuntimeError(
                 f"transitive closure exceeded max_pairs={max_pairs}; "
@@ -178,11 +186,10 @@ def bfs_distances(
         .join(nodes, "node", "left_semi")
         .withColumn("dist", F.lit(0).cast("long"))
     )
+    if use_local_checkpoint:
+        frontier = frontier.localCheckpoint(eager=False)
     known = frontier
     for _ in range(max_hops):
-        if use_local_checkpoint:
-            frontier = frontier.localCheckpoint(eager=False)
-            known = known.localCheckpoint(eager=False)
         if frontier.isEmpty():
             break
         stepped = (
@@ -197,5 +204,12 @@ def bfs_distances(
         frontier = stepped.join(
             known.select("node"), "node", "left_anti"
         )
+        if use_local_checkpoint:
+            # checkpoint BEFORE branching: frontier feeds the next
+            # round AND the known union — one evaluation per hop
+            # (the walks pick discipline)
+            frontier = frontier.localCheckpoint(eager=False)
         known = known.unionByName(frontier)
+        if use_local_checkpoint:
+            known = known.localCheckpoint(eager=False)
     return known
