@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from neo4j_export_tool_spark.functions.partitioning import broadcast_if_small
 from neo4j_export_tool_spark.functions.similarity import shingle_hash_col
 
 
@@ -165,7 +166,7 @@ def negative_samples(
     # falls back to two sort-merge shuffles of the corpus-sized triple
     # table even against a 23-entry pool.  Above the ceiling (a 10⁸–10⁹
     # entity vocabulary) the shuffle-join shape is kept unchanged.
-    _b = F.broadcast if n <= 500_000 else (lambda df: df)
+    _b = broadcast_if_small(n, 500_000)
     joined = cand_side.join(_b(cand_tbl), "_idx").join(_b(bump_tbl), "_bidx")
     neg = F.when(
         F.col("_cand") == F.col("obj"), F.col("_bump")

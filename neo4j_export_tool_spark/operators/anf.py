@@ -98,9 +98,13 @@ def neighborhood_function(
 
     e = _mat(e)
     _be = lambda df: df
-    if use_local_checkpoint and h >= 1:
-        # checkpoint mode only (the persist() fallback stays fully lazy)
-        # and only when the hop loop will actually run
+    if h >= 1:
+        # the tier count runs in BOTH materialization modes (persist's
+        # post-materialization statistics are not something the planner
+        # is guaranteed to exploit for the per-hop join), so the
+        # function is eager whenever the hop loop will run: the count
+        # materializes e — the job hop 1 would otherwise trigger.
+        # h == 0 skips it and stays lazy.
         _be = broadcast_if_small(e.count(), _BROADCAST_EDGES_MAX_ROWS)
     nodes = (
         e.select(F.col("src").alias("node"))

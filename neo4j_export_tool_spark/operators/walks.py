@@ -146,9 +146,10 @@ def random_walks(
     # here would leak cached blocks for the session: the returned
     # DataFrame is lazy in that mode, so there is no point at which this
     # function could safely unpersist.  In the default checkpoint mode
-    # the function is EAGER: the count below (which decides the
-    # broadcast tier) materializes the checkpoint at call time — the
-    # same job the first step would otherwise trigger.
+    # the function is EAGER whenever the loop will run (walk_len > 1):
+    # the count below (which decides the broadcast tier) materializes
+    # the checkpoint at call time — the same job the first step would
+    # otherwise trigger.  walk_len == 1 skips the count and stays lazy.
     _be = _bp = lambda df: df
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
@@ -174,12 +175,12 @@ def random_walks(
             F.array("start").alias("path"),
         )
     )
+    if use_local_checkpoint:
+        # round 1 consumes the initial frontier in both branches
+        active = active.localCheckpoint(eager=False)
     done = active.limit(0)
 
     for step in range(1, walk_len):
-        if use_local_checkpoint:
-            active = active.localCheckpoint(eager=False)
-            done = done.localCheckpoint(eager=False)
         cand = active.join(_be(e), active["cur"] == e["src"])
         h = shingle_hash_col(
             F.concat(
@@ -192,21 +193,25 @@ def random_walks(
         pick = cand.groupBy("walk_id").agg(
             F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("_m")
         ).select("walk_id", F.col("_m.d").alias("_next"))
-        if use_local_checkpoint:
-            # pick feeds BOTH the retire anti-join and the join-back:
-            # without a barrier the candidate join + argmin agg evaluate
-            # twice per step (visible as duplicated subtrees in the
-            # captured plan) — the dedup.py _materialize discipline
-            pick = pick.localCheckpoint(eager=False)
-        done = done.unionByName(
-            active.join(_bp(pick), "walk_id", "left_anti")
-        )
-        active = active.join(_bp(pick), "walk_id").select(
+        nxt = active.join(_bp(pick), "walk_id").select(
             "walk_id",
             "start",
             F.col("_next").alias("cur"),
             F.concat("path", F.array("_next")).alias("path"),
         )
+        if use_local_checkpoint:
+            # nxt feeds BOTH the retire anti-join and the next round:
+            # checkpoint it where computed, so the candidate join +
+            # argmin agg evaluate once per step and each step stores
+            # exactly one walk-sized frame (the dedup.py _materialize
+            # discipline)
+            nxt = nxt.localCheckpoint(eager=False)
+        done = done.unionByName(
+            active.join(_bp(nxt.select("walk_id")), "walk_id", "left_anti")
+        )
+        if use_local_checkpoint:
+            done = done.localCheckpoint(eager=False)
+        active = nxt
     return done.unionByName(active).select("walk_id", "start", "path")
 
 
@@ -247,7 +252,8 @@ def node2vec_walks(
     table fits (`_BROADCAST_EDGES_MAX_ROWS`), the two equi-joins
     broadcast it instead of shuffling the walk table — same rows,
     decided from a measured count the checkpoint materialization pays
-    for anyway.  Dead ends retire into
+    for anyway (skipped, staying lazy, when walk_len == 1 means the
+    loop never runs).  Dead ends retire into
     the result.  Weights must be positive ints; totals stay far inside
     int64 (max degree × max weight).
 
@@ -306,14 +312,14 @@ def node2vec_walks(
             F.array("start").alias("path"),
         )
     )
+    if use_local_checkpoint:
+        # round 1 consumes the initial frontier in both branches
+        active = active.localCheckpoint(eager=False)
     done = active.limit(0)
 
     from pyspark.sql import Window
 
     for step in range(1, walk_len):
-        if use_local_checkpoint:
-            active = active.localCheckpoint(eager=False)
-            done = done.localCheckpoint(eager=False)
         cand = (
             active.join(_be(e), active["cur"] == e["src"])
             .join(
@@ -350,22 +356,27 @@ def node2vec_walks(
                 & (F.col("_r") < F.col("_cum"))
             )
         )
-        if use_local_checkpoint:
-            # pick feeds BOTH the retire anti-join and the next active:
-            # without a barrier the candidate joins + ladder windows
-            # evaluate twice per step (duplicated subtrees in the
-            # captured plan) — the dedup.py _materialize discipline
-            pick = pick.localCheckpoint(eager=False)
-        done = done.unionByName(
-            active.join(_bp(pick.select("walk_id")), "walk_id", "left_anti")
-        )
-        active = pick.select(
+        nxt = pick.select(
             "walk_id",
             "start",
             F.col("cur").alias("prev"),
             F.col("dst").alias("cur"),
             F.concat("path", F.array("dst")).alias("path"),
         )
+        if use_local_checkpoint:
+            # nxt feeds BOTH the retire anti-join and the next round:
+            # checkpoint the NARROW projection where computed (the
+            # ladder scaffolding _w/_cum/_r/dst is dropped first), so
+            # the candidate joins + windows evaluate once per step and
+            # each step stores exactly one walk-sized frame (the
+            # dedup.py _materialize discipline)
+            nxt = nxt.localCheckpoint(eager=False)
+        done = done.unionByName(
+            active.join(_bp(nxt.select("walk_id")), "walk_id", "left_anti")
+        )
+        if use_local_checkpoint:
+            done = done.localCheckpoint(eager=False)
+        active = nxt
     return done.unionByName(active).select("walk_id", "start", "path")
 
 
