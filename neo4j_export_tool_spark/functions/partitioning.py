@@ -96,10 +96,10 @@ def fan_out(
 
 def broadcast_if_small(n_rows: int, ceiling: int):
     """The size-adaptive broadcast tier shared by the count-driven
-    decision sites (walks / SCC / LPA / ANF / negative sampling;
-    pagerank established the convention but keeps its own inline form —
-    its loop receives the decision as a bool across a function
-    boundary, not a count): returns
+    decision sites (walks / SCC / LPA / ANF / negative sampling /
+    personalized-pagerank seed marker; only pagerank's inner
+    `_pagerank_loop` keeps an inline ternary, because it receives the
+    decision as a bool across a function boundary, not a count): returns
     ``F.broadcast`` when the measured ``n_rows`` fits under ``ceiling``,
     else the identity — so loop tables hidden behind
     localCheckpoint/persist barriers (whose size statistics the planner

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from neo4j_export_tool_spark.functions.partitioning import broadcast_if_small
+
 
 def _prepared_graph(
     edges: DataFrame,
@@ -295,7 +297,7 @@ def personalized_pagerank_int(
     bcast = n <= _BROADCAST_RANKS_MAX_NODES
     # the seed marker is |S|-sized (≤ nodes); behind a checkpoint its
     # stats are unknown, so broadcast it explicitly under the same ceiling
-    _bm = F.broadcast if bcast else (lambda df: df)
+    _bm = broadcast_if_small(n, _BROADCAST_RANKS_MAX_NODES)
     ranks = nodes.join(_bm(marker), "node", "left").select(
         "node",
         F.when(F.col("_seed") == 1, F.lit(base // s))

@@ -154,12 +154,8 @@ def random_walks(
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
         if walk_len > 1:  # walk_len == 1: the loop never runs
-            m = e.count()  # materializes the checkpoint; decides tier
-            _be = broadcast_if_small(m, _BROADCAST_EDGES_MAX_ROWS)
-            # pick is walk-sized: ≤ distinct-src × walks_per_node
-            _bp = broadcast_if_small(
-                m * walks_per_node, _BROADCAST_EDGES_MAX_ROWS
-            )
+            # materializes the checkpoint; decides the edge-side tier
+            _be = broadcast_if_small(e.count(), _BROADCAST_EDGES_MAX_ROWS)
 
     active = (
         e.select("src")
@@ -178,6 +174,13 @@ def random_walks(
     if use_local_checkpoint:
         # round 1 consumes the initial frontier in both branches
         active = active.localCheckpoint(eager=False)
+        if walk_len > 1:
+            # the pick/retire side is WALK-sized; count it exactly
+            # (walks only retire, so every later frame is ≤ this) —
+            # the count materializes the frontier round 1 reads twice
+            _bp = broadcast_if_small(
+                active.count(), _BROADCAST_EDGES_MAX_ROWS
+            )
     done = active.limit(0)
 
     for step in range(1, walk_len):
@@ -287,11 +290,8 @@ def node2vec_walks(
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
         if walk_len > 1:  # walk_len == 1: the loop never runs
-            m = e.count()  # materializes the checkpoint; decides tier
-            _be = broadcast_if_small(m, _BROADCAST_EDGES_MAX_ROWS)
-            _bp = broadcast_if_small(
-                m * walks_per_node, _BROADCAST_EDGES_MAX_ROWS
-            )
+            # materializes the checkpoint; decides the edge-side tier
+            _be = broadcast_if_small(e.count(), _BROADCAST_EDGES_MAX_ROWS)
     e_near = e.select(
         F.col("src").alias("_psrc"), F.col("dst").alias("_pdst"),
         F.lit(1).alias("_near"),
@@ -315,6 +315,12 @@ def node2vec_walks(
     if use_local_checkpoint:
         # round 1 consumes the initial frontier in both branches
         active = active.localCheckpoint(eager=False)
+        if walk_len > 1:
+            # the pick/retire side is WALK-sized; count it exactly
+            # (walks only retire, so every later frame is ≤ this)
+            _bp = broadcast_if_small(
+                active.count(), _BROADCAST_EDGES_MAX_ROWS
+            )
     done = active.limit(0)
 
     from pyspark.sql import Window
